@@ -1,0 +1,16 @@
+"""micronet_tpu — TPU-native low-bit quantized training + inference framework.
+
+A from-scratch JAX/XLA/Pallas/pjit re-design with the full capability set of
+the reference library ``666DZY666/micronet`` (see SURVEY.md): DoReFa and IAO
+high-bit fake-quant QAT/PTQ/QAFT, ternary/binary (wbwtab) low-bit training,
+both BN-fusion schemes, BN-gamma channel pruning, and an integer-simulation
+inference engine — built TPU-first: NHWC/HWIO layouts, functional quantizer
+state, GSPMD sharding for data/tensor parallelism, Pallas kernels on the hot
+paths.
+"""
+
+__version__ = "0.1.0"
+
+from . import quant
+
+__all__ = ["quant", "__version__"]
