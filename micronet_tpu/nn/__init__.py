@@ -1,6 +1,7 @@
 """NN layer system: functional ops, base modules, quant layers, transforms."""
 
-from . import functional
+from . import functional, qat_dorefa, qat_iao, qat_wbwtab, transform
+from .transform import prepare
 from .modules import (
     AdaptiveAvgPool2d,
     Add,
@@ -22,6 +23,11 @@ from .modules import (
 
 __all__ = [
     "functional",
+    "qat_iao",
+    "qat_dorefa",
+    "qat_wbwtab",
+    "transform",
+    "prepare",
     "Conv2d",
     "ConvTranspose2d",
     "Linear",

@@ -174,26 +174,36 @@ def avg_pool2d(
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride if stride is not None else kernel_size)
     ph, pw = _pair(padding)
-    summed = jax.lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, sh, sw, 1),
-        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+    c = x.shape[-1]
+    # Implemented as a depthwise conv with a constant mean kernel rather
+    # than lax.reduce_window(add): the window-sum primitive fails JAX
+    # linearization under jit-of-grad ("Linearization failed to produce
+    # known values for all output primals"), while conv differentiates
+    # everywhere and maps onto the same hardware loops.
+    x32 = x.astype(jnp.float32)
+    kernel = jnp.ones((kh, kw, 1, c), jnp.float32)
+    summed = jax.lax.conv_general_dilated(
+        x32,
+        kernel,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if count_include_pad or (ph == 0 and pw == 0):
-        return summed / (kh * kw)
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    counts = jax.lax.reduce_window(
+        return (summed / (kh * kw)).astype(x.dtype)
+    ones = jnp.ones(x.shape[:3] + (1,), jnp.float32)
+    counts = jax.lax.conv_general_dilated(
         ones,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, sh, sw, 1),
-        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+        jnp.ones((kh, kw, 1, 1), jnp.float32),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=1,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    return summed / counts
+    return (summed / counts).astype(x.dtype)
 
 
 def adaptive_avg_pool2d(x: jax.Array, output_size: IntPair) -> jax.Array:

@@ -1,0 +1,630 @@
+"""IAO (integer-arithmetic-only) QAT layers on flax.nnx.
+
+TPU-native re-design of the reference's quant op classes
+(iao/quantize.py:325-1498). Quantizer state (observer min/max, scale,
+zero_point) lives in :class:`QuantStat` variables — mutable under
+``nnx.jit``, excluded from the optimizer, carried in checkpoints. All
+compute is NHWC/HWIO and lowers to a single fused XLA computation per layer
+(fake-quant chains fold into the conv's epilogue/prologue).
+
+Mode semantics (reference Quantizer.forward, iao/quantize.py:214-240):
+
+- QAT (``training and not qaft``): observer update + qparam refresh each
+  step, then fake-quant.
+- PTQ: same code path — the driver just runs forward-only with Histogram
+  observers (``ptq=True`` picks them at construction).
+- QAFT / eval: observers and qparams frozen; fake-quant with stored state.
+
+Granularity mapping (reference q_level, iao/quantize.py:15-36): "L" =
+per-tensor; "C" = per-out-channel conv weight — HWIO reduces axes (0,1,2)
+to (1,1,1,O); "FC" = per-row linear weight — (in,out) reduces axis 0 to
+(1,O).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..quant.config import QuantConfig
+from ..quant.observers import (
+    HistogramState,
+    MinMaxState,
+    ema_minmax_update,
+    histogram_update,
+    minmax_update,
+)
+from ..quant.quantizers import (
+    asymmetric_qparams,
+    fake_quant,
+    quant_range,
+    symmetric_qparams,
+)
+from . import functional as F
+from .modules import Conv2d, ConvTranspose2d, IntPair, Linear, _pair
+
+__all__ = [
+    "QuantStat",
+    "FakeQuantizer",
+    "QuantConv2d",
+    "QuantConvTranspose2d",
+    "QuantBNFuseConv2d",
+    "QuantLinear",
+    "QuantReLU",
+    "QuantLeakyReLU",
+    "QuantSigmoid",
+    "QuantMaxPool2d",
+    "QuantAvgPool2d",
+    "QuantAdaptiveAvgPool2d",
+    "QuantAdd",
+]
+
+
+class QuantStat(nnx.Variable):
+    """Quantizer state (observer min/max, scale, zero_point, BN running
+    stats of fused convs). Mirrors the reference's ``register_buffer`` role:
+    checkpointed, never optimized (iao/quantize.py:43-59, 181-204)."""
+
+
+class FakeQuantizer(nnx.Module):
+    """One fake-quant chain = observer + qparams + clip-STE round.
+
+    Functional equivalent of the reference's
+    {Symmetric,Asymmetric}Quantizer({MinMax,MovingAverage,Histogram}Observer)
+    lattice (iao/quantize.py:171-321). ``observer`` picks the reducer;
+    ``symmetric`` picks signed ranges + max-|x| scaling vs unsigned +
+    min/max affine.
+
+    ``union=True`` reproduces QuantAdd's shared-scale trick
+    (iao/quantize.py:1484-1498): the internal observer is bypassed, but
+    qparams still refresh each training step from externally assigned
+    min/max.
+    """
+
+    def __init__(
+        self,
+        bits: int,
+        *,
+        symmetric: bool = True,
+        is_weight: bool = False,
+        stat_shape: Tuple[int, ...] = (1,),
+        axes: Optional[Tuple[int, ...]] = None,
+        observer: str = "ema",  # "minmax" | "ema" | "histogram"
+        momentum: float = 0.1,
+        percentile: float = 0.9999,
+        qaft: bool = False,
+        union: bool = False,
+    ):
+        self.bits = bits
+        self.symmetric = symmetric
+        self.is_weight = is_weight
+        self.axes = None if axes is None else tuple(axes)
+        self.observer = observer
+        self.momentum = momentum
+        self.percentile = percentile
+        self.qaft = qaft
+        self.union = union
+        self.training = True
+        if bits not in (1, 32):
+            self.qmin, self.qmax = quant_range(bits, symmetric, is_weight)
+        else:
+            self.qmin, self.qmax = 0.0, 0.0
+        shape = tuple(stat_shape)
+        self.min_val = QuantStat(jnp.zeros(shape, jnp.float32))
+        self.max_val = QuantStat(jnp.zeros(shape, jnp.float32))
+        self.initialized = QuantStat(jnp.zeros((), jnp.bool_))
+        self.scale = QuantStat(jnp.ones(shape, jnp.float32))
+        self.zero_point = QuantStat(jnp.zeros(shape, jnp.float32))
+
+    # -- observer ---------------------------------------------------------
+
+    def observe(self, x: jax.Array) -> None:
+        """Update min/max statistics from a batch (reference observer
+        forward, iao/quantize.py:39-139)."""
+        if self.observer == "histogram":
+            state = HistogramState(
+                self.min_val.value, self.max_val.value, self.initialized.value
+            )
+            state = histogram_update(state, x, self.percentile, self.momentum)
+        else:
+            state = MinMaxState(
+                self.min_val.value, self.max_val.value, self.initialized.value
+            )
+            if self.observer == "minmax":
+                state = minmax_update(state, x, self.axes)
+            else:
+                state = ema_minmax_update(state, x, self.axes, self.momentum)
+        self.min_val.value = state.min_val
+        self.max_val.value = state.max_val
+        self.initialized.value = state.initialized
+
+    def update_qparams(self) -> None:
+        """Refresh scale/zero_point from observer state
+        (iao/quantize.py:292-321)."""
+        if self.symmetric:
+            scale, zp = symmetric_qparams(
+                self.min_val.value, self.max_val.value, self.qmin, self.qmax
+            )
+        else:
+            scale, zp = asymmetric_qparams(
+                self.min_val.value, self.max_val.value, self.qmin, self.qmax
+            )
+        self.scale.value = scale
+        self.zero_point.value = zp
+
+    # -- fake-quant -------------------------------------------------------
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.bits == 32:
+            return x
+        if self.bits == 1:
+            raise ValueError(
+                "1-bit is not supported by the IAO path; use wbwtab "
+                "(reference iao/quantize.py:217-219)"
+            )
+        if self.training and not self.qaft:
+            if not self.union:
+                self.observe(x)
+            self.update_qparams()
+        return fake_quant(
+            x,
+            self.scale.value,
+            self.zero_point.value,
+            self.qmin,
+            self.qmax,
+            self.min_val.value,
+            self.max_val.value,
+            self.symmetric,
+        )
+
+
+def _act_quantizer(cfg: QuantConfig) -> FakeQuantizer:
+    """Activation quantizer: always per-tensor; EMA MinMax in QAT, Histogram
+    + forced-symmetric in PTQ (iao/quantize.py:359-374, 450-456)."""
+    if cfg.ptq:
+        return FakeQuantizer(
+            cfg.a_bits,
+            symmetric=True,
+            is_weight=False,
+            observer="histogram",
+            percentile=cfg.percentile,
+            qaft=cfg.qaft,
+        )
+    return FakeQuantizer(
+        cfg.a_bits,
+        symmetric=cfg.symmetric,
+        is_weight=False,
+        observer="ema",
+        qaft=cfg.qaft,
+    )
+
+
+def _weight_quantizer(
+    cfg: QuantConfig, stat_shape: Tuple[int, ...], axes: Optional[Tuple[int, ...]]
+) -> FakeQuantizer:
+    """Weight quantizer: MinMax or EMA by ``weight_observer``; per-channel
+    (stat_shape/axes from the caller) or per-layer by ``q_level``; PTQ
+    forces symmetric (iao/quantize.py:375-489)."""
+    if cfg.q_level != 0:
+        stat_shape, axes = (1,), None
+    return FakeQuantizer(
+        cfg.w_bits,
+        symmetric=True if cfg.ptq else cfg.symmetric,
+        is_weight=True,
+        stat_shape=stat_shape,
+        axes=axes,
+        observer="minmax" if cfg.weight_observer == 0 else "ema",
+        qaft=cfg.qaft,
+    )
+
+
+class QuantConv2d(Conv2d):
+    """Conv2d with fake-quantized input + weight (iao/quantize.py:325-507).
+
+    ``quant_inference=True`` skips the weight fake-quant (weights are
+    assumed pre-quantized by the export pass, iao/quantize.py:500-502).
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: IntPair,
+        stride: IntPair = 1,
+        padding: IntPair = 0,
+        dilation: IntPair = 1,
+        groups: int = 1,
+        bias: bool = True,
+        *,
+        cfg: QuantConfig,
+        rngs: nnx.Rngs,
+    ):
+        super().__init__(
+            in_channels,
+            out_channels,
+            kernel_size,
+            stride,
+            padding,
+            dilation,
+            groups,
+            bias,
+            rngs=rngs,
+        )
+        self.quant_inference = cfg.quant_inference
+        self.activation_quantizer = _act_quantizer(cfg)
+        self.weight_quantizer = _weight_quantizer(
+            cfg, stat_shape=(1, 1, 1, out_channels), axes=(0, 1, 2)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        qx = self.activation_quantizer(x)
+        w = self.weight.value
+        if not self.quant_inference:
+            w = self.weight_quantizer(w)
+        return F.conv2d(
+            qx,
+            w,
+            None if self.bias is None else self.bias.value,
+            self.stride,
+            self.padding,
+            self.dilation,
+            self.groups,
+        )
+
+
+class QuantConvTranspose2d(ConvTranspose2d):
+    """ConvTranspose2d with fake-quant; weight quant is layer-level only
+    (the reference has no q_level branch here, iao/quantize.py:510-636)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: IntPair,
+        stride: IntPair = 1,
+        padding: IntPair = 0,
+        output_padding: IntPair = 0,
+        groups: int = 1,
+        bias: bool = True,
+        dilation: IntPair = 1,
+        *,
+        cfg: QuantConfig,
+        rngs: nnx.Rngs,
+    ):
+        super().__init__(
+            in_channels,
+            out_channels,
+            kernel_size,
+            stride,
+            padding,
+            output_padding,
+            groups,
+            bias,
+            dilation,
+            rngs=rngs,
+        )
+        self.quant_inference = cfg.quant_inference
+        self.activation_quantizer = _act_quantizer(cfg)
+        layer_cfg = dataclasses.replace(cfg, q_level=1)
+        self.weight_quantizer = _weight_quantizer(layer_cfg, (1,), None)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        qx = self.activation_quantizer(x)
+        w = self.weight.value
+        if not self.quant_inference:
+            w = self.weight_quantizer(w)
+        return F.conv_transpose2d(
+            qx,
+            w,
+            None if self.bias is None else self.bias.value,
+            self.stride,
+            self.padding,
+            self.output_padding,
+            self.dilation,
+            self.groups,
+        )
+
+
+class QuantBNFuseConv2d(Conv2d):
+    """In-training BN-fused quantized conv (iao/quantize.py:652-994).
+
+    Training (QAT): a float conv produces pre-BN activations whose batch
+    mean / *unbiased* variance (``torch.var`` default, iao/quantize.py:854)
+    update the running stats, then BN folds into the conv weights/bias:
+
+    - ``bn_fuse_calib=False``: ``w' = w * γ/√(var_batch+eps)``,
+      ``b' = β + (b − μ_batch)·γ/√(var_batch+eps)``; quantized conv with b'.
+    - ``bn_fuse_calib=True``: weights fuse the (just-updated) *running* var
+      — the statistics the deploy-time fusion will use — and the output is
+      corrected back to batch statistics:
+      ``out = conv(q(x), q(w')) * √(var_run+eps)/√(var_batch+eps) + b'``
+      (iao/quantize.py:946-972).
+
+    Eval / QAFT: fuse with running stats, single conv, no updates.
+
+    First-batch seeding: with ``pretrained_model=False`` the first training
+    batch overwrites the running stats (``num_flag``,
+    iao/quantize.py:856-868) — here an ``initialized`` flag + ``jnp.where``
+    so the step stays traceable.
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: IntPair,
+        stride: IntPair = 1,
+        padding: IntPair = 0,
+        dilation: IntPair = 1,
+        groups: int = 1,
+        bias: bool = False,
+        eps: float = 1e-5,
+        momentum: float = 0.1,
+        *,
+        cfg: QuantConfig,
+        rngs: nnx.Rngs,
+    ):
+        super().__init__(
+            in_channels,
+            out_channels,
+            kernel_size,
+            stride,
+            padding,
+            dilation,
+            groups,
+            bias,
+            rngs=rngs,
+        )
+        self.eps = eps
+        self.momentum = momentum
+        self.pretrained_model = cfg.pretrained_model
+        self.qaft = cfg.qaft
+        self.bn_fuse_calib = cfg.bn_fuse_calib
+        self.quant_inference = cfg.quant_inference
+        self.training = True
+        # BN affine params are trainable; running stats are state
+        # (reference: gamma ~ U(0,1) init, beta = 0, iao/quantize.py:700-702)
+        self.gamma = nnx.Param(
+            jax.random.uniform(rngs.params(), (out_channels,), jnp.float32)
+        )
+        self.beta = nnx.Param(jnp.zeros((out_channels,), jnp.float32))
+        self.running_mean = QuantStat(jnp.zeros((out_channels,), jnp.float32))
+        self.running_var = QuantStat(jnp.ones((out_channels,), jnp.float32))
+        self.bn_initialized = QuantStat(jnp.zeros((), jnp.bool_))
+        self.activation_quantizer = _act_quantizer(cfg)
+        self.weight_quantizer = _weight_quantizer(
+            cfg, stat_shape=(1, 1, 1, out_channels), axes=(0, 1, 2)
+        )
+
+    def _conv(self, x, w, b):
+        return F.conv2d(
+            x, w, b, self.stride, self.padding, self.dilation, self.groups
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.weight.value
+        b = None if self.bias is None else self.bias.value
+        gamma = self.gamma.value
+        beta = self.beta.value
+
+        if not self.qaft and self.training:
+            # float conv for batch statistics (hot loop: the double conv,
+            # SURVEY.md §3.1); batch stats keep gradient — the reference's
+            # batch_mean/var are differentiable conv outputs
+            out_f = self._conv(x, w, b).astype(jnp.float32)
+            batch_mean = jnp.mean(out_f, axis=(0, 1, 2))
+            n = out_f.shape[0] * out_f.shape[1] * out_f.shape[2]
+            batch_var = jnp.var(out_f, axis=(0, 1, 2)) * (n / max(n - 1, 1))
+            # running-stat update under stop_gradient (reference: no_grad,
+            # iao/quantize.py:856-879); first batch overwrites unless
+            # pretrained
+            m = self.momentum
+            sg_mean = jax.lax.stop_gradient(batch_mean)
+            sg_var = jax.lax.stop_gradient(batch_var)
+            ema_mean = (1 - m) * self.running_mean.value + m * sg_mean
+            ema_var = (1 - m) * self.running_var.value + m * sg_var
+            if self.pretrained_model:
+                new_mean, new_var = ema_mean, ema_var
+            else:
+                seeded = self.bn_initialized.value
+                new_mean = jnp.where(seeded, ema_mean, sg_mean)
+                new_var = jnp.where(seeded, ema_var, sg_var)
+                self.bn_initialized.value = jnp.ones((), jnp.bool_)
+            self.running_mean.value = new_mean
+            self.running_var.value = new_var
+
+            inv_batch = gamma / jnp.sqrt(batch_var + self.eps)
+            if b is not None:
+                bias_fused = beta + (b - batch_mean) * inv_batch
+            else:
+                bias_fused = beta - batch_mean * inv_batch
+            if not self.bn_fuse_calib:
+                weight_fused = w * inv_batch  # broadcast over out-channel (HWIO)
+            else:
+                weight_fused = w * (gamma / jnp.sqrt(new_var + self.eps))
+
+            qx = self.activation_quantizer(x)
+            qw = (
+                weight_fused
+                if self.quant_inference
+                else self.weight_quantizer(weight_fused)
+            )
+            if not self.bn_fuse_calib:
+                return self._conv(qx, qw, bias_fused)
+            out = self._conv(qx, qw, None)
+            corr = jnp.sqrt(new_var + self.eps) / jnp.sqrt(batch_var + self.eps)
+            return out * corr + bias_fused
+
+        # eval / QAFT: fuse with running stats
+        inv_run = gamma / jnp.sqrt(self.running_var.value + self.eps)
+        if b is not None:
+            bias_fused = beta + (b - self.running_mean.value) * inv_run
+        else:
+            bias_fused = beta - self.running_mean.value * inv_run
+        weight_fused = w * inv_run
+        qx = self.activation_quantizer(x)
+        qw = (
+            weight_fused
+            if self.quant_inference
+            else self.weight_quantizer(weight_fused)
+        )
+        return self._conv(qx, qw, bias_fused)
+
+
+class QuantLinear(Linear):
+    """Linear with fake-quant; per-row ("FC") weight observers when
+    q_level==0 (iao/quantize.py:997-1157)."""
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        bias: bool = True,
+        *,
+        cfg: QuantConfig,
+        rngs: nnx.Rngs,
+    ):
+        super().__init__(in_features, out_features, bias, rngs=rngs)
+        self.quant_inference = cfg.quant_inference
+        self.activation_quantizer = _act_quantizer(cfg)
+        self.weight_quantizer = _weight_quantizer(
+            cfg, stat_shape=(1, out_features), axes=(0,)
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        qx = self.activation_quantizer(x)
+        w = self.weight.value
+        if not self.quant_inference:
+            w = self.weight_quantizer(w)
+        return F.linear(qx, w, None if self.bias is None else self.bias.value)
+
+
+class _QuantActBase(nnx.Module):
+    """Activation-only quant wrapper: fake-quant the input, then apply the
+    functional op (iao/quantize.py:1160-1438)."""
+
+    def __init__(self, cfg: QuantConfig):
+        self.activation_quantizer = _act_quantizer(cfg)
+
+
+class QuantReLU(_QuantActBase):
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.nn.relu(self.activation_quantizer(x))
+
+
+class QuantLeakyReLU(_QuantActBase):
+    def __init__(self, negative_slope: float = 0.01, *, cfg: QuantConfig):
+        super().__init__(cfg)
+        self.negative_slope = negative_slope
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.nn.leaky_relu(self.activation_quantizer(x), self.negative_slope)
+
+
+class QuantSigmoid(_QuantActBase):
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.nn.sigmoid(self.activation_quantizer(x))
+
+
+class QuantMaxPool2d(_QuantActBase):
+    def __init__(
+        self,
+        kernel_size: IntPair,
+        stride: Optional[IntPair] = None,
+        padding: IntPair = 0,
+        *,
+        cfg: QuantConfig,
+    ):
+        super().__init__(cfg)
+        self.kernel_size = _pair(kernel_size)
+        self.stride = _pair(stride) if stride is not None else self.kernel_size
+        self.padding = _pair(padding)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return F.max_pool2d(
+            self.activation_quantizer(x), self.kernel_size, self.stride, self.padding
+        )
+
+
+class QuantAvgPool2d(_QuantActBase):
+    def __init__(
+        self,
+        kernel_size: IntPair,
+        stride: Optional[IntPair] = None,
+        padding: IntPair = 0,
+        *,
+        cfg: QuantConfig,
+    ):
+        super().__init__(cfg)
+        self.kernel_size = _pair(kernel_size)
+        self.stride = _pair(stride) if stride is not None else self.kernel_size
+        self.padding = _pair(padding)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return F.avg_pool2d(
+            self.activation_quantizer(x), self.kernel_size, self.stride, self.padding
+        )
+
+
+class QuantAdaptiveAvgPool2d(_QuantActBase):
+    def __init__(self, output_size: IntPair, *, cfg: QuantConfig):
+        super().__init__(cfg)
+        self.output_size = _pair(output_size)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return F.adaptive_avg_pool2d(self.activation_quantizer(x), self.output_size)
+
+
+class QuantAdd(nnx.Module):
+    """Quantized residual add with a union (shared) scale
+    (iao/quantize.py:1441-1498).
+
+    Two observers watch the two addends; the shared quantizer's min/max is
+    set to their union, and both inputs are fake-quantized with the same
+    scale before adding, so the int-sim add needs no rescale.
+
+    Deviation from the reference (documented): the reference updates the
+    two addend observers unconditionally, even in eval mode
+    (iao/quantize.py:1485-1486). Here updates are gated on
+    ``training and not qaft`` so eval/inference stays a pure function —
+    required for ``jax.jit``/``eval_shape`` of the eval graph and the sane
+    semantics anyway. Final accuracy is the parity target, not stat
+    trajectories (SURVEY.md §7 hard parts).
+    """
+
+    def __init__(self, *, cfg: QuantConfig):
+        observer = "histogram" if cfg.ptq else "ema"
+        kw = dict(observer=observer, percentile=cfg.percentile)
+        self.qaft = cfg.qaft
+        self.training = True
+        self.observer_res = FakeQuantizer(
+            cfg.a_bits, symmetric=True, qaft=cfg.qaft, **kw
+        )
+        self.observer_shortcut = FakeQuantizer(
+            cfg.a_bits, symmetric=True, qaft=cfg.qaft, **kw
+        )
+        self.activation_quantizer = FakeQuantizer(
+            cfg.a_bits,
+            symmetric=True if cfg.ptq else cfg.symmetric,
+            qaft=cfg.qaft,
+            union=True,
+            **kw,
+        )
+
+    def __call__(self, res: jax.Array, shortcut: jax.Array) -> jax.Array:
+        if self.training and not self.qaft:
+            self.observer_res.observe(res)
+            self.observer_shortcut.observe(shortcut)
+            self.activation_quantizer.min_val.value = jnp.minimum(
+                self.observer_res.min_val.value, self.observer_shortcut.min_val.value
+            )
+            self.activation_quantizer.max_val.value = jnp.maximum(
+                self.observer_res.max_val.value, self.observer_shortcut.max_val.value
+            )
+        quant_res = self.activation_quantizer(res)
+        quant_shortcut = self.activation_quantizer(shortcut)
+        return quant_res + quant_shortcut

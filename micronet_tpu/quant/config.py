@@ -1,0 +1,62 @@
+"""Typed quantization config — the reference's kwargs bag as one dataclass.
+
+The axes below ARE the reference's feature matrix (SURVEY.md §5): every flag
+of ``prepare(...)`` (iao/quantize.py:1791-1824) plus the DoReFa and wbwtab
+knobs, so one object configures all three flavors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["QuantConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Configuration for :func:`micronet_tpu.nn.transform.prepare`.
+
+    IAO axes (iao/quantize.py:1791-1806):
+
+    - ``a_bits`` / ``w_bits``: activation / weight bit-widths; 32 = float
+      passthrough.
+    - ``q_type``: 0 symmetric (signed), 1 asymmetric (unsigned).
+    - ``q_level``: 0 per-channel weights ("C"/"FC"), 1 per-layer ("L").
+    - ``weight_observer``: 0 cumulative MinMax, 1 EMA MinMax.
+    - ``bn_fuse``: in-training Conv+BN fusion (QuantBNFuseConv2d).
+    - ``bn_fuse_calib``: fuse weights with running stats + batch-var output
+      correction (iao/quantize.py:893-901, 957-972).
+    - ``pretrained_model``: running BN stats are pre-seeded — always EMA
+      (first batch does not overwrite; iao/quantize.py:856-879).
+    - ``qaft``: quantization-aware finetune — observers/qparams/BN frozen.
+    - ``ptq``: post-training calibration — activation observers become
+      percentile Histogram observers, quantizers forced symmetric.
+    - ``percentile``: Histogram observer percentile.
+    - ``quant_inference``: weights are pre-quantized; skip weight fake-quant
+      at runtime (iao/quantize.py:500-502).
+
+    DoReFa uses ``a_bits``/``w_bits``/``quant_inference`` only.
+
+    wbwtab axes (wbwtab/quantize.py:334-347): ``W`` 2=binary 3=ternary
+    32=float; ``A`` 2=binary act 32=relu.
+    """
+
+    a_bits: int = 8
+    w_bits: int = 8
+    q_type: int = 0
+    q_level: int = 0
+    weight_observer: int = 0
+    bn_fuse: bool = False
+    bn_fuse_calib: bool = False
+    pretrained_model: bool = False
+    qaft: bool = False
+    ptq: bool = False
+    percentile: float = 0.9999
+    quant_inference: bool = False
+    # wbwtab
+    W: int = 2
+    A: int = 2
+
+    @property
+    def symmetric(self) -> bool:
+        return self.q_type == 0

@@ -121,7 +121,9 @@ def test_nin_shapes_and_param_counts(build, params):
 
 def test_resnet18_and_lenet_forward():
     model = resnet18(rngs=nnx.Rngs(0))
-    # eval_shape: full tracing without the (slow on 1-CPU) compile
+    # eval-mode first: BN must not mutate running stats inside a raw jax
+    # trace; eval_shape then traces without the (slow on 1-CPU) compile
+    M.eval_mode(model)
     y = jax.eval_shape(model, jnp.zeros((2, 32, 32, 3)))
     assert y.shape == (2, 10)
     y = LeNet(rngs=nnx.Rngs(0))(jnp.zeros((2, 32, 32, 3)))
