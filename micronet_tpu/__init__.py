@@ -12,5 +12,17 @@ paths.
 __version__ = "0.1.0"
 
 from . import quant
+from .quant.config import QuantConfig
 
-__all__ = ["quant", "__version__"]
+__all__ = ["quant", "QuantConfig", "__version__"]
+
+
+def __getattr__(name):
+    # lazy subpackage imports keep `import micronet_tpu` light
+    if name in ("nn", "models", "train", "prune", "infer", "ops", "parallel", "utils"):
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,19 @@
+"""Inference/export subsystem: BN fusion (both schemes), weight
+pre-quantization, paired equivalence eval — the reference's post-training
+tools (SURVEY.md §2.7) re-designed as pure tree transforms; the int-sim
+integer engine replaces its TensorRT deploy leg."""
+
+from .bn_fuse import fuse_bn_iao, fuse_bn_wbwtab, pre_quantize_weights
+from .engine import IntConv2d, IntLinear, freeze_int
+from .evaluate import evaluate_model, paired_equivalence_eval
+
+__all__ = [
+    "fuse_bn_iao",
+    "fuse_bn_wbwtab",
+    "pre_quantize_weights",
+    "freeze_int",
+    "IntConv2d",
+    "IntLinear",
+    "evaluate_model",
+    "paired_equivalence_eval",
+]

@@ -1,0 +1,233 @@
+"""Integer-simulation inference engine — the TPU-native replacement for the
+reference's TensorRT deploy leg (deploy/tensorrt/, SURVEY.md §2.8).
+
+``freeze_int`` consumes a BN-fused inference model (from
+:func:`..infer.fuse_bn_iao`) and replaces every
+``QuantConv2d(quant_inference=True)`` / ``QuantLinear`` with an integer
+layer holding:
+
+- ``w_q``: int8 weights ``round(w / s_w)`` (per-channel or per-layer),
+- ``w_scale`` (+ activation ``scale`` / ``zero_point``) — the
+  scale+zero_point-only artifact the reference reduces its saved quant
+  params to (README.md:135), standing in for a serialized TRT engine.
+
+Execution: activations quantize to int8 on the fly, conv/matmul runs in
+int8 with int32 accumulation (MXU int path; the 1x1-conv/linear cases go
+through the Pallas ``int8_matmul_dequant`` kernel on TPU), and the
+epilogue dequantizes + adds bias. Numerics: identical to the fake-quant
+model up to f32 accumulation order (the int32 accumulation is exact,
+unlike the float conv over dequantized values).
+
+Math note (symmetric activations, zp=0): ``fq(x) = s_x q_x``,
+``w_pre = s_w q_w`` => ``conv(fq(x), w_pre) = s_x s_w conv_int(q_x, q_w)``
+exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..nn import modules as M
+from ..nn import qat_iao
+from ..nn.transform import _children
+from ..ops.int_matmul import int8_linear
+from ..quant.rounding import round_half_away
+
+__all__ = ["IntConv2d", "IntLinear", "freeze_int"]
+
+
+class IntStat(nnx.Variable):
+    """Frozen integer-engine state (int8 weights, scales, zero points)."""
+
+
+def _quantize_weight_int8(w, scale):
+    q = round_half_away(w / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+class IntConv2d(nnx.Module):
+    """Integer conv: int8 in, int8 weights, int32 accumulate, f32 epilogue.
+
+    1x1 stride-1 convs lower to the Pallas int8 matmul on TPU; general
+    convs use XLA's int conv (conv_general_dilated with int32 accumulation).
+    """
+
+    def __init__(
+        self,
+        w_q: jax.Array,  # HWIO int8
+        w_scale: jax.Array,  # (O,) f32
+        act_scale: jax.Array,  # scalar
+        act_zero_point: jax.Array,  # scalar
+        bias: Optional[jax.Array],
+        stride: Tuple[int, int],
+        padding: Tuple[int, int],
+        dilation: Tuple[int, int],
+        groups: int,
+        a_qmin: float,
+        a_qmax: float,
+    ):
+        self.w_q = IntStat(w_q)
+        self.w_scale = IntStat(w_scale)
+        self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+        self.act_zero_point = IntStat(
+            jnp.asarray(act_zero_point, jnp.float32).reshape(())
+        )
+        self.bias = IntStat(bias) if bias is not None else None
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        self.a_qmin = a_qmin
+        self.a_qmax = a_qmax
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s_x = self.act_scale.value
+        zp = self.act_zero_point.value
+        kh, kw, _, _ = self.w_q.value.shape
+        is_matmul = (
+            kh == 1
+            and kw == 1
+            and self.stride == (1, 1)
+            and self.padding == (0, 0)
+            and self.groups == 1
+        )
+        if is_matmul:
+            n, h, w_, _ = x.shape
+            out = int8_linear(
+                x.reshape(n * h * w_, -1),
+                self.w_q.value[0, 0],
+                self.w_scale.value,
+                s_x,
+                zp,
+                None if self.bias is None else self.bias.value,
+            )
+            return out.reshape(n, h, w_, -1)
+        # general conv: quantize, int conv with int32 accumulation
+        q = round_half_away(x.astype(jnp.float32) / s_x) + zp
+        x_q = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            x_q,
+            self.w_q.value,
+            window_strides=self.stride,
+            padding=tuple((p, p) for p in self.padding),
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32,
+        )
+        # zero-point correction: conv(zp·1, w_q) per output position; padding
+        # makes it position-dependent, so compute it on a ones input (XLA
+        # hoists it under jit: every operand is constant).
+        ones = jnp.ones(x.shape[:3] + (x.shape[3],), jnp.int8)
+        corr = jax.lax.conv_general_dilated(
+            ones,
+            self.w_q.value,
+            window_strides=self.stride,
+            padding=tuple((p, p) for p in self.padding),
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc - zp.astype(jnp.int32) * corr
+        out = acc.astype(jnp.float32) * (s_x * self.w_scale.value)
+        if self.bias is not None:
+            out = out + self.bias.value
+        return out
+
+
+class IntLinear(nnx.Module):
+    def __init__(self, w_q, w_scale, act_scale, act_zero_point, bias, a_qmin, a_qmax):
+        self.w_q = IntStat(w_q)  # (in, out) int8
+        self.w_scale = IntStat(w_scale)  # (out,)
+        self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+        self.act_zero_point = IntStat(
+            jnp.asarray(act_zero_point, jnp.float32).reshape(())
+        )
+        self.bias = IntStat(bias) if bias is not None else None
+        self.a_qmin = a_qmin
+        self.a_qmax = a_qmax
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return int8_linear(
+            x,
+            self.w_q.value,
+            self.w_scale.value,
+            self.act_scale.value,
+            self.act_zero_point.value,
+            None if self.bias is None else self.bias.value,
+        )
+
+
+def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
+    wq_state = m.weight_quantizer
+    aq = m.activation_quantizer
+    if wq_state.bits != 8 or aq.bits != 8:
+        raise NotImplementedError(
+            "int engine currently freezes W8A8; int4 lands with the packed kernels"
+        )
+    if not aq.symmetric:
+        raise NotImplementedError(
+            "int engine freezes symmetric (q_type=0) activations; the "
+            "asymmetric path needs uint8 plumbing"
+        )
+    w_scale = wq_state.scale.value.reshape(-1)  # (O,) or (1,)
+    w_scale = jnp.broadcast_to(w_scale, (m.weight.value.shape[3],))
+    w_q = _quantize_weight_int8(m.weight.value, w_scale)
+    return IntConv2d(
+        w_q,
+        w_scale,
+        aq.scale.value.reshape(()),
+        aq.zero_point.value.reshape(()),
+        None if m.bias is None else m.bias.value,
+        m.stride,
+        m.padding,
+        m.dilation,
+        m.groups,
+        aq.qmin,
+        aq.qmax,
+    )
+
+
+def _freeze_linear(m: qat_iao.QuantLinear) -> IntLinear:
+    wq_state = m.weight_quantizer
+    aq = m.activation_quantizer
+    w_scale = jnp.broadcast_to(
+        wq_state.scale.value.reshape(-1), (m.weight.value.shape[1],)
+    )
+    w_q = _quantize_weight_int8(m.weight.value, w_scale)
+    return IntLinear(
+        w_q,
+        w_scale,
+        aq.scale.value.reshape(()),
+        aq.zero_point.value.reshape(()),
+        None if m.bias is None else m.bias.value,
+        aq.qmin,
+        aq.qmax,
+    )
+
+
+def freeze_int(model: nnx.Module, *, inplace: bool = False) -> nnx.Module:
+    """Convert a BN-fused, weight-pre-quantized inference model to the
+    integer engine. Symmetric (q_type=0) W8A8 models only for now."""
+    from ..nn.transform import _copy_model
+
+    if not inplace:
+        model = _copy_model(model)
+
+    def rec(module: nnx.Module) -> None:
+        for _, child, set_child in _children(module):
+            if type(child) is qat_iao.QuantConv2d:
+                set_child(_freeze_conv(child))
+            elif type(child) is qat_iao.QuantLinear:
+                set_child(_freeze_linear(child))
+            else:
+                rec(child)
+
+    rec(model)
+    return model

@@ -1,0 +1,18 @@
+"""Mesh parallelism: data-parallel QAT with auto-reduced observers/BN
+stats, channel tensor parallelism (SURVEY.md §2.9 TPU-native column)."""
+
+from .sharding import (
+    channel_sharding_for,
+    make_mesh,
+    shard_batch,
+    shard_model_and_optimizer,
+    shard_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "channel_sharding_for",
+    "shard_state",
+    "shard_model_and_optimizer",
+    "shard_batch",
+]

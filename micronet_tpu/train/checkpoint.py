@@ -1,0 +1,116 @@
+"""Pytree checkpoints: params + quant state + BN state + optimizer state.
+
+The reference saves ``{best_acc, state_dict}`` (plus ``cfg`` for pruned
+models) with fixed filenames, only on accuracy improvement, stripping the
+DataParallel ``module.`` prefix (iao/main.py:32-98). Here the analogue is
+the full nnx state pytree — nnx.Param, QuantStat (observer min/max, scale,
+zero_point, BN running stats), and optimizer moments all ride along, which
+is exactly how the QAT -> QAFT -> fuse handoffs work (SURVEY.md §5).
+
+Format: a single ``np.savez`` archive of flattened ``path -> array`` plus a
+tiny JSON header (step, best_acc, model cfg). No orbax dependency; files
+are portable and human-inspectable via ``np.load``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import nnx
+
+__all__ = ["save_state", "load_state", "state_to_arrays", "arrays_to_state"]
+
+
+def _flatten(state: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def state_to_arrays(model: nnx.Module) -> Dict[str, np.ndarray]:
+    """Full nnx state (Param + QuantStat + BatchStat + ...) as flat arrays."""
+    return _flatten(nnx.state(model))
+
+
+def arrays_to_state(model: nnx.Module, arrays: Dict[str, np.ndarray]) -> None:
+    """Load flat arrays back into ``model`` (shapes must match)."""
+    state = nnx.state(model)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
+    new_leaves = []
+    for path, leaf in leaves:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing {key}")
+        arr = arrays[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(leaf)}"
+            )
+        new_leaves.append(jax.numpy.asarray(arr))
+    nnx.update(model, jax.tree_util.tree_unflatten(treedef, new_leaves))
+
+
+def save_state(
+    path: str,
+    model: nnx.Module,
+    *,
+    optimizer: Optional[nnx.Optimizer] = None,
+    step: int = 0,
+    best_acc: float = 0.0,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a checkpoint. ``extra`` holds JSON-serializable metadata (e.g.
+    the pruned-model ``cfg`` list, mirroring normal_regular_prune.py:239)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {f"model/{k}": v for k, v in state_to_arrays(model).items()}
+    if optimizer is not None:
+        arrays.update(
+            {f"opt/{k}": v for k, v in _flatten(nnx.state(optimizer)).items()}
+        )
+    header = json.dumps(
+        {"step": step, "best_acc": best_acc, "extra": extra or {}}
+    )
+    arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def load_state(
+    path: str,
+    model: nnx.Module,
+    *,
+    optimizer: Optional[nnx.Optimizer] = None,
+) -> Tuple[int, float, Dict[str, Any]]:
+    """Restore ``model`` (and optionally optimizer) in place.
+
+    Returns (step, best_acc, extra) — the resume contract of the
+    reference's ``--resume`` (iao/main.py:431-459).
+    """
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays.pop("__header__")).decode())
+    model_arrays = {
+        k[len("model/") :]: v for k, v in arrays.items() if k.startswith("model/")
+    }
+    arrays_to_state(model, model_arrays)
+    if optimizer is not None:
+        opt_arrays = {
+            k[len("opt/") :]: v for k, v in arrays.items() if k.startswith("opt/")
+        }
+        state = nnx.state(optimizer)
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
+        new_leaves = []
+        for p, leaf in leaves:
+            key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
+            new_leaves.append(
+                jax.numpy.asarray(opt_arrays[key]) if key in opt_arrays else leaf
+            )
+        nnx.update(optimizer, jax.tree_util.tree_unflatten(treedef, new_leaves))
+    return header["step"], header["best_acc"], header["extra"]

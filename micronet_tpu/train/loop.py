@@ -1,0 +1,217 @@
+"""Training/eval loop: jit'd train step, LR schedule, QAT/PTQ/QAFT modes.
+
+Behavioral port of the reference drivers (iao/main.py:109-519 et al.),
+TPU-first: one fused jit step (augment + forward + loss + backward +
+Adam update + metric), device-side augmentation, explicit state.
+
+Reference semantics kept:
+- Adam with per-run lr/wd, CE loss (main.py:502-509).
+- LR x0.1 at epochs [80, 130, 180, 230, 280] (adjust_learning_rate,
+  main.py:101-106).
+- PTQ mode: forward-only "training" streaming ``ptq_batch`` batches
+  through observers, run capped at 2 epochs (main.py:121-141, 511-513).
+- QAFT: observers frozen at construction; train normally at small lr.
+- Best-acc checkpointing: save only when test accuracy improves
+  (main.py:161-163).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from ..nn.modules import eval_mode, train_mode
+from . import data as data_lib
+from .checkpoint import save_state
+
+__all__ = ["TrainConfig", "Trainer", "lr_at_epoch"]
+
+MILESTONES = (80, 130, 180, 230, 280)  # iao/main.py:101-106
+
+
+def lr_at_epoch(base_lr: float, epoch: int) -> float:
+    """Step decay: x0.1 at each milestone crossed (main.py:101-106)."""
+    lr = base_lr
+    for m in MILESTONES:
+        if epoch >= m:
+            lr *= 0.1
+    return lr
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    batch_size: int = 256
+    epochs: int = 300
+    seed: int = 1
+    ptq: bool = False
+    ptq_batch: int = 200  # forward-only calibration batch count
+    log_every: int = 100
+
+
+class Trainer:
+    """Drives QAT/PTQ/QAFT for any prepared (or float) model.
+
+    The step is ``nnx.jit``-compiled once per (train/eval) mode; quantizer
+    state mutations ride the nnx state, so the whole step — augmentation,
+    double conv, observers, STE backward, Adam — is one XLA program.
+    """
+
+    def __init__(
+        self,
+        model: nnx.Module,
+        cfg: TrainConfig,
+        dataset: Optional[data_lib.Cifar10] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.data = dataset or data_lib.load_cifar10()
+        self.best_acc = 0.0
+        self.epoch = 0
+        # per-parameter Adam (the reference builds per-param groups with a
+        # shared lr, main.py:502-509; plain Adam is equivalent)
+        self.lr_var = optax.inject_hyperparams(
+            lambda learning_rate: optax.adamw(
+                learning_rate, weight_decay=cfg.weight_decay
+            )
+            if cfg.weight_decay
+            else optax.adam(learning_rate)
+        )(learning_rate=cfg.lr)
+        self.optimizer = nnx.Optimizer(model, self.lr_var, wrt=nnx.Param)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        @nnx.jit
+        def _train_step(model, optimizer, key, images_u8, labels):
+            x = data_lib.augment_batch(key, images_u8)
+
+            def loss_fn(model):
+                logits = model(x)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels
+                ).mean()
+                return loss, logits
+
+            (loss, logits), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+            optimizer.update(model, grads)
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            return loss, acc
+
+        @nnx.jit
+        def _forward_step(model, key, images_u8, labels):
+            # PTQ calibration: observers update in forward, no backward
+            x = data_lib.augment_batch(key, images_u8)
+            logits = model(x)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+            return loss, jnp.mean(jnp.argmax(logits, -1) == labels)
+
+        @nnx.jit
+        def _eval_step(model, images_u8, labels):
+            x = data_lib.normalize_batch(images_u8)
+            logits = model(x)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).sum()
+            correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+            return loss, correct
+
+        self._train_step = _train_step
+        self._forward_step = _forward_step
+        self._eval_step = _eval_step
+
+    # -- epochs -----------------------------------------------------------
+
+    def train_epoch(self, epoch: int, log: Callable[[str], None] = print) -> float:
+        cfg = self.cfg
+        train_mode(self.model)
+        lr = lr_at_epoch(cfg.lr, epoch)
+        self.optimizer.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)  # type: ignore[attr-defined]
+        self.key, ekey = jax.random.split(self.key)
+        losses = []
+        t0 = time.time()
+        for i, (xb, yb) in enumerate(
+            data_lib.epoch_batches(
+                ekey, self.data.train_images, self.data.train_labels, cfg.batch_size
+            )
+        ):
+            self.key, bkey = jax.random.split(self.key)
+            if cfg.ptq:
+                if i >= cfg.ptq_batch:
+                    break
+                loss, acc = self._forward_step(
+                    self.model, bkey, jnp.asarray(xb), jnp.asarray(yb)
+                )
+            else:
+                loss, acc = self._train_step(
+                    self.model,
+                    self.optimizer,
+                    bkey,
+                    jnp.asarray(xb),
+                    jnp.asarray(yb),
+                )
+            losses.append(float(loss))
+            if i % cfg.log_every == 0:
+                log(
+                    f"epoch {epoch} batch {i}: loss {float(loss):.4f} "
+                    f"acc {float(acc):.4f} lr {lr:.2e}"
+                )
+        dt = time.time() - t0
+        n_img = len(losses) * cfg.batch_size
+        log(f"epoch {epoch} done in {dt:.1f}s ({n_img / max(dt, 1e-9):.1f} img/s)")
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def evaluate(self) -> Tuple[float, float]:
+        eval_mode(self.model)
+        total_loss, total_correct, n = 0.0, 0, 0
+        for xb, yb in data_lib.epoch_batches(
+            jax.random.PRNGKey(0),
+            self.data.test_images,
+            self.data.test_labels,
+            self.cfg.batch_size,
+            shuffle=False,
+            drop_remainder=False,
+        ):
+            loss, correct = self._eval_step(
+                self.model, jnp.asarray(xb), jnp.asarray(yb)
+            )
+            total_loss += float(loss)
+            total_correct += int(correct)
+            n += len(yb)
+        return total_loss / max(n, 1), total_correct / max(n, 1)
+
+    def fit(
+        self,
+        epochs: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        log: Callable[[str], None] = print,
+    ) -> float:
+        cfg = self.cfg
+        end = epochs if epochs is not None else cfg.epochs
+        if cfg.ptq:
+            end = min(end, 2)  # PTQ capped at 2 epochs (main.py:511-513)
+        for epoch in range(self.epoch, end):
+            self.train_epoch(epoch, log)
+            _, acc = self.evaluate()
+            log(f"epoch {epoch}: test acc {acc * 100:.2f}% (best {self.best_acc * 100:.2f}%)")
+            if acc > self.best_acc:
+                self.best_acc = acc
+                if checkpoint_path:
+                    save_state(
+                        checkpoint_path,
+                        self.model,
+                        optimizer=self.optimizer,
+                        step=epoch,
+                        best_acc=self.best_acc,
+                    )
+                    log(f"saved best checkpoint to {checkpoint_path}")
+            self.epoch = epoch + 1
+        return self.best_acc

@@ -1,0 +1,111 @@
+"""BN-fusion export + train≡inference equivalence — the reference's
+correctness oracle, automated (SURVEY.md §4.2).
+
+- IAO: fused QuantConv2d (scale/zp carried, weights pre-quantized) must
+  reproduce the eval-mode QuantBNFuseConv2d model EXACTLY.
+- wbwtab (A=2): BN->bias fusion is order-preserving under sign, so fused
+  logits must match the eval-mode train model to float tolerance.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from micronet_tpu.infer import fuse_bn_iao, fuse_bn_wbwtab, pre_quantize_weights
+from micronet_tpu.models import nin
+from micronet_tpu.nn import modules as M
+from micronet_tpu.nn import prepare, qat_iao, qat_wbwtab
+from micronet_tpu.quant.config import QuantConfig
+
+
+def _trained_iao_model(cfg):
+    model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    q = prepare(model, cfg, method="iao")
+    M.train_mode(q)
+    # a few steps to move BN stats + observers off init
+    for i in range(3):
+        x = jax.random.normal(jax.random.PRNGKey(i), (4, 32, 32, 3))
+        q(x)
+    return q
+
+
+def test_iao_fuse_equivalence():
+    cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
+    q = _trained_iao_model(cfg)
+    M.eval_mode(q)
+    x = jax.random.normal(jax.random.PRNGKey(99), (4, 32, 32, 3))
+    y_train = q(x)
+
+    fused = fuse_bn_iao(q, cfg)
+    n_bnf = sum(
+        1 for _, m in nnx.iter_modules(fused) if isinstance(m, qat_iao.QuantBNFuseConv2d)
+    )
+    n_q = sum(
+        1 for _, m in nnx.iter_modules(fused) if type(m) is qat_iao.QuantConv2d
+    )
+    assert n_bnf == 0 and n_q == 9
+    M.eval_mode(fused)
+    y_fused = fused(x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_train), atol=1e-4)
+    # original untouched
+    assert any(
+        isinstance(m, qat_iao.QuantBNFuseConv2d) for _, m in nnx.iter_modules(q)
+    )
+
+
+def test_wbwtab_fuse_equivalence():
+    # train-architecture wbwtab model (quantized convs 2..8, BNs intact)
+    model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    cfg = QuantConfig(W=2, A=2)
+    q = prepare(model, cfg, method="wbwtab")
+    M.train_mode(q)
+    for i in range(3):
+        q(jax.random.normal(jax.random.PRNGKey(i), (4, 32, 32, 3)))
+    M.eval_mode(q)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 32, 32, 3))
+    y_train = q(x)
+
+    fused = fuse_bn_wbwtab(q, cfg)
+    # all BNs gone; convs 2..8 quant-inference, conv 1 and 9 plain
+    assert not any(
+        type(m) is M.BatchNorm2d for _, m in nnx.iter_modules(fused)
+    )
+    n_qi = sum(
+        1
+        for _, m in nnx.iter_modules(fused)
+        if isinstance(m, qat_wbwtab.QuantConv2d) and m.quant_inference
+    )
+    assert n_qi == 7
+    M.eval_mode(fused)
+    y_fused = fused(x)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_train), atol=5e-4, rtol=1e-4
+    )
+
+
+def test_pre_quantize_idempotent():
+    # fake-quant is a projection: applying it twice == once
+    model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    cfg = QuantConfig(a_bits=8, w_bits=8)
+    q = prepare(model, cfg, method="iao")
+    M.train_mode(q)
+    q(jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3)))
+    import copy
+
+    pre_quantize_weights(q)
+    w1 = [
+        np.asarray(m.weight.value)
+        for _, m in nnx.iter_modules(q)
+        if isinstance(m, qat_iao.QuantConv2d)
+    ]
+    pre_quantize_weights(q)
+    w2 = [
+        np.asarray(m.weight.value)
+        for _, m in nnx.iter_modules(q)
+        if isinstance(m, qat_iao.QuantConv2d)
+    ]
+    for a, b in zip(w1, w2):
+        np.testing.assert_allclose(a, b, atol=1e-6)

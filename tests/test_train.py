@@ -1,0 +1,88 @@
+"""Train subsystem: device-side augmentation stats, LR schedule golden
+values, checkpoint round-trip, one tiny end-to-end fit."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from micronet_tpu.models import nin
+from micronet_tpu.nn import modules as M
+from micronet_tpu.nn import prepare
+from micronet_tpu.quant.config import QuantConfig
+from micronet_tpu.train import (
+    TrainConfig,
+    Trainer,
+    augment_batch,
+    data,
+    load_state,
+    lr_at_epoch,
+    normalize_batch,
+    save_state,
+)
+
+
+def test_lr_schedule_golden():
+    # x0.1 at [80,130,180,230,280] (iao/main.py:101-106)
+    assert lr_at_epoch(0.1, 0) == 0.1
+    assert lr_at_epoch(0.1, 79) == 0.1
+    np.testing.assert_allclose(lr_at_epoch(0.1, 80), 0.01)
+    np.testing.assert_allclose(lr_at_epoch(0.1, 130), 0.001)
+    np.testing.assert_allclose(lr_at_epoch(0.1, 300), 0.1 * 0.1**5)
+
+
+def test_augment_shapes_and_range():
+    imgs = (np.random.RandomState(0).rand(16, 32, 32, 3) * 255).astype(np.uint8)
+    out = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs))
+    assert out.shape == (16, 32, 32, 3)
+    # normalize((0..1)-0.5)/0.5 -> [-1, 1]
+    assert float(out.min()) >= -1.0 - 1e-6 and float(out.max()) <= 1.0 + 1e-6
+    # flip/crop are random: two keys differ
+    out2 = augment_batch(jax.random.PRNGKey(1), jnp.asarray(imgs))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # normalize_batch is deterministic
+    n1 = normalize_batch(jnp.asarray(imgs))
+    np.testing.assert_allclose(
+        np.asarray(n1), (imgs.astype(np.float32) / 255.0 - 0.5) / 0.5, atol=1e-6
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    q = prepare(model, QuantConfig(a_bits=8, w_bits=8, bn_fuse=True), method="iao")
+    M.train_mode(q)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    q(x)  # populate observer state
+    M.eval_mode(q)
+    y_before = q(x)
+
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_state(path, q, step=3, best_acc=0.5, extra={"cfg": [8] * 8})
+
+    q2 = prepare(
+        nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(42)),
+        QuantConfig(a_bits=8, w_bits=8, bn_fuse=True),
+        method="iao",
+    )
+    step, best_acc, extra = load_state(path, q2)
+    assert step == 3 and best_acc == 0.5 and extra["cfg"] == [8] * 8
+    M.eval_mode(q2)
+    y_after = q2(x)
+    np.testing.assert_allclose(np.asarray(y_after), np.asarray(y_before), atol=1e-6)
+
+
+def test_tiny_fit_synthetic():
+    # deliberately tiny: CPU jit of the fused augment+train step dominates
+    ds = data.load_cifar10(synthetic_size=128)
+    model = nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0))
+    q = prepare(model, QuantConfig(a_bits=8, w_bits=8), method="dorefa")
+    M.train_mode(q)
+    tr = Trainer(q, TrainConfig(lr=3e-3, batch_size=32, epochs=1, log_every=1000), ds)
+    loss0 = tr.train_epoch(0, log=lambda s: None)
+    loss1 = tr.train_epoch(1, log=lambda s: None)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert loss1 < loss0  # synthetic set is learnable
+    _, acc = tr.evaluate()
+    assert 0.0 <= acc <= 1.0
