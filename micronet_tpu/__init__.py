@@ -13,8 +13,15 @@ __version__ = "0.1.0"
 
 from . import quant
 from .quant.config import QuantConfig
+from .selftest import quant_test_auto, quant_test_manual
 
-__all__ = ["quant", "QuantConfig", "__version__"]
+__all__ = [
+    "quant",
+    "QuantConfig",
+    "quant_test_manual",
+    "quant_test_auto",
+    "__version__",
+]
 
 
 def __getattr__(name):

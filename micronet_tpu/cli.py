@@ -1,0 +1,312 @@
+"""Command-line drivers — the reference's per-task ``main.py`` scripts
+(SURVEY.md §2.6) unified as subcommands of ``python -m micronet_tpu.cli``.
+
+Flag names mirror the reference argparse surfaces so users can carry
+their invocations over:
+
+=====================  ===========================================
+reference script        subcommand
+=====================  ===========================================
+wqaq/iao/main.py        train --method iao [--bn_fuse --ptq ...]
+wqaq/dorefa/main.py     train --method dorefa
+wbwtab/main.py          train --method wbwtab [--W 2 --A 2]
+pruning/main.py         train --method float [-sr --s ...]
+normal_regular_prune    prune [--normal_regular N]
+gc_prune                prune --gc
+iao|wbwtab bn_fuse.py   bn-fuse --method {iao,wbwtab}
+*_model_test.py         model-test
+(TensorRT deploy)       freeze-int
+=====================  ===========================================
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+import numpy as np
+
+
+def _build_model(model_type: int, cfg, rngs):
+    from .models import nin, nin_gc, resnet18
+
+    if model_type == 0:
+        return nin.Net(cfg=cfg, rngs=rngs)
+    if model_type == 1:
+        return nin_gc.Net(cfg=cfg, rngs=rngs)
+    return resnet18(rngs=rngs)
+
+
+def _parse_cfg(s):
+    return [int(v) for v in s.split(",")] if s else None
+
+
+def _quant_config(args):
+    from .quant.config import QuantConfig
+
+    return QuantConfig(
+        a_bits=args.a_bits,
+        w_bits=args.w_bits,
+        q_type=args.q_type,
+        q_level=args.q_level,
+        weight_observer=args.weight_observer,
+        bn_fuse=args.bn_fuse,
+        bn_fuse_calib=args.bn_fuse_calib,
+        pretrained_model=args.pretrained_model,
+        qaft=args.qaft,
+        ptq=args.ptq,
+        percentile=args.percentile,
+        W=args.W,
+        A=args.A,
+    )
+
+
+def _add_quant_flags(p: argparse.ArgumentParser):
+    p.add_argument("--a_bits", type=int, default=8)
+    p.add_argument("--w_bits", type=int, default=8)
+    p.add_argument("--q_type", type=int, default=0, help="0 sym, 1 asym")
+    p.add_argument("--q_level", type=int, default=0, help="0 per-ch, 1 per-layer")
+    p.add_argument("--weight_observer", type=int, default=0, help="0 minmax, 1 ema")
+    p.add_argument("--bn_fuse", action="store_true")
+    p.add_argument("--bn_fuse_calib", action="store_true")
+    p.add_argument("--pretrained_model", action="store_true")
+    p.add_argument("--qaft", action="store_true")
+    p.add_argument("--ptq", action="store_true")
+    p.add_argument("--ptq_batch", type=int, default=200)
+    p.add_argument("--percentile", type=float, default=0.9999)
+    p.add_argument("--W", type=int, default=2, help="wbwtab: 2 bin, 3 ter, 32 fp")
+    p.add_argument("--A", type=int, default=2, help="wbwtab: 2 bin, 32 fp")
+
+
+def cmd_train(args) -> int:
+    import jax
+    from flax import nnx
+
+    from .nn import prepare, train_mode
+    from .train import TrainConfig, Trainer, load_state
+
+    rngs = nnx.Rngs(args.seed)
+    model = _build_model(args.model_type, _parse_cfg(args.cfg), rngs)
+
+    cfg = _quant_config(args)
+    if args.method == "float":
+        qmodel = model
+    else:
+        qmodel = prepare(model, cfg, method=args.method, inplace=True)
+    train_mode(qmodel)
+
+    tcfg = TrainConfig(
+        lr=args.lr,
+        weight_decay=args.wd,
+        batch_size=args.train_batch_size,
+        epochs=args.epochs,
+        seed=args.seed,
+        ptq=args.ptq,
+        ptq_batch=args.ptq_batch,
+    )
+    trainer = Trainer(qmodel, tcfg)
+    if args.resume:
+        step, best, _ = load_state(args.resume, qmodel, optimizer=trainer.optimizer)
+        trainer.epoch, trainer.best_acc = step + 1, best
+        print(f"resumed from {args.resume} at epoch {step} (best {best:.4f})")
+    if trainer.data.source == "synthetic":
+        print(
+            "WARNING: CIFAR-10 not found on disk; training on the synthetic "
+            "stand-in (set CIFAR10_DIR)",
+            file=sys.stderr,
+        )
+    # sparsity hook for slimming runs (pruning/main.py:65-69)
+    if args.sr:
+        from .prune import bn_l1_grad_update
+
+        base_step = trainer._train_step
+
+        @nnx.jit
+        def sparse_step(model, optimizer, key, images_u8, labels):
+            import optax
+
+            from .train import data as data_lib
+
+            x = data_lib.augment_batch(key, images_u8)
+
+            def loss_fn(model):
+                logits = model(x)
+                return (
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels
+                    ).mean(),
+                    logits,
+                )
+
+            (loss, logits), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+            grads = bn_l1_grad_update(model, grads, args.s)
+            optimizer.update(model, grads)
+            import jax.numpy as jnp
+
+            return loss, jnp.mean(jnp.argmax(logits, -1) == labels)
+
+        trainer._train_step = sparse_step
+    best = trainer.fit(checkpoint_path=args.save)
+    print(f"best acc: {best * 100:.2f}%")
+    return 0
+
+
+def cmd_prune(args) -> int:
+    from flax import nnx
+
+    from .models import nin, nin_gc
+    from .nn import eval_mode
+    from .prune import compute_prune_masks, prune_model
+    from .train import load_state, save_state
+
+    rngs = nnx.Rngs(0)
+    ctor = nin.Net if args.model_type == 0 else nin_gc.Net
+    model = ctor(cfg=_parse_cfg(args.cfg), rngs=rngs)
+    if args.model:
+        load_state(args.model, model)
+    eval_mode(model)
+    layers = 9
+    cfg, masks, ratio = compute_prune_masks(
+        model,
+        args.percent,
+        base_number=args.normal_regular,
+        gc=args.gc,
+        layers=layers,
+    )
+    print(f"pruned_ratio: {ratio:.4f}")
+    print(f"cfg: {cfg}")
+    if args.gc:
+        # gc mode prints cfg only; retrain from scratch at these widths
+        # (gc_prune.py:184-192)
+        return 0
+    new = ctor(cfg=cfg, rngs=nnx.Rngs(1))
+    new = prune_model(model, new, masks, layers=layers)
+    save_state(args.save, new, extra={"cfg": cfg})
+    print(f"saved pruned model to {args.save}")
+    return 0
+
+
+def cmd_bn_fuse(args) -> int:
+    from flax import nnx
+
+    from .infer import fuse_bn_iao, fuse_bn_wbwtab
+    from .nn import prepare
+    from .train import load_state, save_state
+
+    cfg = _quant_config(args)
+    model = _build_model(args.model_type, _parse_cfg(args.cfg), nnx.Rngs(0))
+    q = prepare(model, cfg, method=args.method, inplace=True)
+    if args.model:
+        load_state(args.model, q)
+    fused = (fuse_bn_iao if args.method == "iao" else fuse_bn_wbwtab)(q, cfg)
+    save_state(args.save, fused)
+    print(f"saved bn-fused inference model to {args.save}")
+    return 0
+
+
+def cmd_model_test(args) -> int:
+    from flax import nnx
+
+    from .infer import fuse_bn_iao, fuse_bn_wbwtab, paired_equivalence_eval
+    from .nn import prepare, train_mode
+    from .train import data as data_lib
+    from .train import load_state
+
+    cfg = _quant_config(args)
+    model = _build_model(args.model_type, _parse_cfg(args.cfg), nnx.Rngs(0))
+    q = prepare(model, cfg, method=args.method, inplace=True)
+    if args.model:
+        load_state(args.model, q)
+    train_mode(q)
+    fused = (fuse_bn_iao if args.method == "iao" else fuse_bn_wbwtab)(q, cfg)
+    ds = data_lib.load_cifar10()
+    acc_t, acc_i = paired_equivalence_eval(
+        q, fused, ds.test_images, ds.test_labels, args.eval_batch_size
+    )
+    ok = abs(acc_t - acc_i) < 0.005
+    print("EQUIVALENCE", "OK" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
+def cmd_freeze_int(args) -> int:
+    from flax import nnx
+
+    from .infer import freeze_int, fuse_bn_iao
+    from .nn import prepare
+    from .train import load_state, save_state
+
+    cfg = _quant_config(args)
+    model = _build_model(args.model_type, _parse_cfg(args.cfg), nnx.Rngs(0))
+    q = prepare(model, cfg, method="iao", inplace=True)
+    if args.model:
+        load_state(args.model, q)
+    engine = freeze_int(fuse_bn_iao(q, cfg))
+    save_state(args.save, engine)
+    print(f"saved int8 engine (weights int8 + scale/zero_point) to {args.save}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="micronet_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="QAT/PTQ/QAFT/float training")
+    pt.add_argument("--method", choices=["iao", "dorefa", "wbwtab", "float"], default="iao")
+    pt.add_argument("--model_type", type=int, default=1, help="0 nin, 1 nin_gc, 2 resnet18")
+    pt.add_argument("--cfg", default="", help="comma list of channel widths (pruned models)")
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--wd", type=float, default=1e-7)
+    pt.add_argument("--train_batch_size", type=int, default=256)
+    pt.add_argument("--epochs", type=int, default=300)
+    pt.add_argument("--seed", type=int, default=1)
+    pt.add_argument("--resume", default="")
+    pt.add_argument("--save", default="models_save/model.npz")
+    pt.add_argument("-sr", dest="sr", action="store_true", help="sparsity train")
+    pt.add_argument("--s", type=float, default=1e-4, help="BN L1 lambda")
+    _add_quant_flags(pt)
+    pt.set_defaults(fn=cmd_train)
+
+    pp = sub.add_parser("prune", help="BN-gamma channel pruning")
+    pp.add_argument("--model_type", type=int, default=0)
+    pp.add_argument("--cfg", default="")
+    pp.add_argument("--model", default="")
+    pp.add_argument("--save", default="models_save/pruned.npz")
+    pp.add_argument("--percent", type=float, default=0.5)
+    pp.add_argument("--normal_regular", type=int, default=1)
+    pp.add_argument("--gc", action="store_true", help="grouped-conv mode")
+    pp.set_defaults(fn=cmd_prune)
+
+    pb = sub.add_parser("bn-fuse", help="export BN-fused inference model")
+    pb.add_argument("--method", choices=["iao", "wbwtab"], default="iao")
+    pb.add_argument("--model_type", type=int, default=1)
+    pb.add_argument("--cfg", default="")
+    pb.add_argument("--model", default="")
+    pb.add_argument("--save", default="models_save/bn_fused.npz")
+    _add_quant_flags(pb)
+    pb.set_defaults(fn=cmd_bn_fuse)
+
+    pm = sub.add_parser("model-test", help="paired train/inference equivalence eval")
+    pm.add_argument("--method", choices=["iao", "wbwtab"], default="iao")
+    pm.add_argument("--model_type", type=int, default=1)
+    pm.add_argument("--cfg", default="")
+    pm.add_argument("--model", default="")
+    pm.add_argument("--eval_batch_size", type=int, default=256)
+    _add_quant_flags(pm)
+    pm.set_defaults(fn=cmd_model_test)
+
+    pf = sub.add_parser("freeze-int", help="export the int8 engine")
+    pf.add_argument("--model_type", type=int, default=1)
+    pf.add_argument("--cfg", default="")
+    pf.add_argument("--model", default="")
+    pf.add_argument("--save", default="models_save/int8_engine.npz")
+    _add_quant_flags(pf)
+    pf.set_defaults(fn=cmd_freeze_int)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -38,7 +38,7 @@ from ..nn.transform import _children
 from ..ops.int_matmul import int8_linear
 from ..quant.rounding import round_half_away
 
-__all__ = ["IntConv2d", "IntLinear", "freeze_int"]
+__all__ = ["IntConv2d", "IntLinear", "IntMaxPool2d", "IntAvgPool2d", "freeze_int"]
 
 
 class IntStat(nnx.Variable):
@@ -84,32 +84,37 @@ class IntConv2d(nnx.Module):
         self.groups = groups
         self.a_qmin = a_qmin
         self.a_qmax = a_qmax
+        # static: symmetric activations have zero_point identically 0, so
+        # the position-dependent correction conv can be skipped entirely
+        self.symmetric = a_qmin < 0
+        # int8 dataflow: when the engine planner chains this layer to the
+        # next quantized layer, ``chained=True`` and ``out_scale`` holds the
+        # next layer's activation scale; the epilogue then requantizes
+        # straight to int8 — activations stay 1 byte end to end (the
+        # TensorRT-style int path)
+        self.chained = False
+        self.out_scale = IntStat(jnp.ones((), jnp.float32))
+
+    def _epilogue(self, acc: jax.Array, s_x) -> jax.Array:
+        """acc int32 -> f32 output or requantized int8 output."""
+        out = acc.astype(jnp.float32) * (s_x * self.w_scale.value)
+        if self.bias is not None:
+            out = out + self.bias.value
+        if not self.chained:
+            return out
+        q = round_half_away(out / self.out_scale.value)
+        return jnp.clip(q, -128, 127).astype(jnp.int8)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         s_x = self.act_scale.value
         zp = self.act_zero_point.value
-        kh, kw, _, _ = self.w_q.value.shape
-        is_matmul = (
-            kh == 1
-            and kw == 1
-            and self.stride == (1, 1)
-            and self.padding == (0, 0)
-            and self.groups == 1
-        )
-        if is_matmul:
-            n, h, w_, _ = x.shape
-            out = int8_linear(
-                x.reshape(n * h * w_, -1),
-                self.w_q.value[0, 0],
-                self.w_scale.value,
-                s_x,
-                zp,
-                None if self.bias is None else self.bias.value,
-            )
-            return out.reshape(n, h, w_, -1)
-        # general conv: quantize, int conv with int32 accumulation
-        q = round_half_away(x.astype(jnp.float32) / s_x) + zp
-        x_q = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
+        if x.dtype == jnp.int8:
+            # chained int8 input: already quantized with OUR act scale by
+            # the previous layer's requant epilogue
+            x_q = x
+        else:
+            q = round_half_away(x.astype(jnp.float32) / s_x) + zp
+            x_q = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
         acc = jax.lax.conv_general_dilated(
             x_q,
             self.w_q.value,
@@ -120,25 +125,77 @@ class IntConv2d(nnx.Module):
             feature_group_count=self.groups,
             preferred_element_type=jnp.int32,
         )
-        # zero-point correction: conv(zp·1, w_q) per output position; padding
-        # makes it position-dependent, so compute it on a ones input (XLA
-        # hoists it under jit: every operand is constant).
-        ones = jnp.ones(x.shape[:3] + (x.shape[3],), jnp.int8)
-        corr = jax.lax.conv_general_dilated(
-            ones,
-            self.w_q.value,
-            window_strides=self.stride,
-            padding=tuple((p, p) for p in self.padding),
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.int32,
-        )
-        acc = acc - zp.astype(jnp.int32) * corr
-        out = acc.astype(jnp.float32) * (s_x * self.w_scale.value)
-        if self.bias is not None:
-            out = out + self.bias.value
-        return out
+        if not self.symmetric:
+            # zero-point correction: conv(zp·1, w_q) per output position;
+            # padding makes it position-dependent, so compute it on a ones
+            # input (XLA hoists it under jit: every operand is constant)
+            ones = jnp.ones(x.shape[:3] + (x.shape[3],), jnp.int8)
+            corr = jax.lax.conv_general_dilated(
+                ones,
+                self.w_q.value,
+                window_strides=self.stride,
+                padding=tuple((p, p) for p in self.padding),
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc - zp.astype(jnp.int32) * corr
+        return self._epilogue(acc, s_x)
+
+
+class IntMaxPool2d(nnx.Module):
+    """Frozen QuantMaxPool2d: quantize (or accept chained int8), max-pool in
+    int8 (order-preserving under the positive symmetric scale), then either
+    requantize to the next layer's scale or dequantize to f32."""
+
+    def __init__(self, kernel_size, stride, padding, act_scale):
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+        self.chained = False
+        self.out_scale = IntStat(jnp.ones((), jnp.float32))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..nn import functional as F
+
+        s = self.act_scale.value
+        if x.dtype != jnp.int8:
+            q = round_half_away(x.astype(jnp.float32) / s)
+            x = jnp.clip(q, -128, 127).astype(jnp.int8)
+        y = F.max_pool2d(x, self.kernel_size, self.stride, self.padding)
+        if self.chained:
+            # pure rescale requant int8 -> int8
+            q = round_half_away(y.astype(jnp.float32) * (s / self.out_scale.value))
+            return jnp.clip(q, -128, 127).astype(jnp.int8)
+        return y.astype(jnp.float32) * s
+
+
+class IntAvgPool2d(nnx.Module):
+    """Frozen QuantAvgPool2d/QuantAdaptiveAvgPool2d: quantize (or accept
+    chained int8) at its own scale, then average in f32 — the reference's
+    quant pools quantize the INPUT only (iao/quantize.py:1338-1438), so the
+    averaged output is float. Receive-only chain node."""
+
+    def __init__(self, kernel_size, stride, padding, act_scale, adaptive_size=None):
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.adaptive_size = adaptive_size
+        self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..nn import functional as F
+
+        s = self.act_scale.value
+        if x.dtype != jnp.int8:
+            q = round_half_away(x.astype(jnp.float32) / s)
+            x = jnp.clip(q, -128, 127).astype(jnp.int8)
+        xf = x.astype(jnp.float32) * s
+        if self.adaptive_size is not None:
+            return F.adaptive_avg_pool2d(xf, self.adaptive_size)
+        return F.avg_pool2d(xf, self.kernel_size, self.stride, self.padding)
 
 
 class IntLinear(nnx.Module):
@@ -212,13 +269,43 @@ def _freeze_linear(m: qat_iao.QuantLinear) -> IntLinear:
     )
 
 
-def freeze_int(model: nnx.Module, *, inplace: bool = False) -> nnx.Module:
+def freeze_int(
+    model: nnx.Module, *, inplace: bool = False, chain_int8: bool = True
+) -> nnx.Module:
     """Convert a BN-fused, weight-pre-quantized inference model to the
-    integer engine. Symmetric (q_type=0) W8A8 models only for now."""
+    integer engine. Symmetric (q_type=0) W8A8 models only for now.
+
+    With ``chain_int8`` the planner wires each IntConv2d's requantizing
+    epilogue to the NEXT quantized layer's activation scale whenever only
+    order-preserving modules (ReLU/MaxPool/Identity/Flatten — all exact on
+    symmetric int8) sit between them, so activations stay int8 across the
+    network: 4x less HBM traffic than bouncing through f32 (the
+    engine-level optimization TensorRT performs; net-new here).
+    """
     from ..nn.transform import _copy_model
 
     if not inplace:
         model = _copy_model(model)
+
+    def _freeze_maxpool(m: qat_iao.QuantMaxPool2d):
+        aq = m.activation_quantizer
+        if aq.bits != 8 or not aq.symmetric:
+            return m
+        return IntMaxPool2d(
+            m.kernel_size, m.stride, m.padding, aq.scale.value.reshape(())
+        )
+
+    def _freeze_avgpool(m):
+        aq = m.activation_quantizer
+        if aq.bits != 8 or not aq.symmetric:
+            return m
+        if isinstance(m, qat_iao.QuantAdaptiveAvgPool2d):
+            return IntAvgPool2d(
+                None, None, None, aq.scale.value.reshape(()), m.output_size
+            )
+        return IntAvgPool2d(
+            m.kernel_size, m.stride, m.padding, aq.scale.value.reshape(())
+        )
 
     def rec(module: nnx.Module) -> None:
         for _, child, set_child in _children(module):
@@ -226,8 +313,55 @@ def freeze_int(model: nnx.Module, *, inplace: bool = False) -> nnx.Module:
                 set_child(_freeze_conv(child))
             elif type(child) is qat_iao.QuantLinear:
                 set_child(_freeze_linear(child))
+            elif type(child) is qat_iao.QuantMaxPool2d:
+                set_child(_freeze_maxpool(child))
+            elif type(child) is qat_iao.QuantAvgPool2d or type(
+                child
+            ) is qat_iao.QuantAdaptiveAvgPool2d:
+                set_child(_freeze_avgpool(child))
             else:
                 rec(child)
 
     rec(model)
+
+    if chain_int8:
+        ordered: list = []
+
+        def collect(m: nnx.Module) -> None:
+            # leaf modules only: containers (Sequential, ConvBNReLU, ...)
+            # are transparent for execution-order chaining
+            for _, child, _ in _children(m):
+                kids = list(_children(child))
+                if kids:
+                    collect(child)
+                else:
+                    ordered.append(child)
+
+        collect(model)
+        # emitters can requantize their output to a receiver's int8 scale;
+        # receivers accept chained int8 at their own act_scale
+        passthrough = (M.ReLU, M.MaxPool2d, M.Identity, M.Flatten)
+
+        def is_emitter(m):
+            return (isinstance(m, IntConv2d) and m.symmetric) or isinstance(
+                m, IntMaxPool2d
+            )
+
+        def is_receiver(m):
+            return (
+                (isinstance(m, IntConv2d) and m.symmetric)
+                or isinstance(m, (IntMaxPool2d, IntAvgPool2d))
+            )
+
+        i = 0
+        while i < len(ordered):
+            cur = ordered[i]
+            if is_emitter(cur):
+                j = i + 1
+                while j < len(ordered) and isinstance(ordered[j], passthrough):
+                    j += 1
+                if j < len(ordered) and is_receiver(ordered[j]):
+                    cur.chained = True
+                    cur.out_scale.value = ordered[j].act_scale.value
+            i += 1
     return model

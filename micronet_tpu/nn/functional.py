@@ -152,9 +152,14 @@ def max_pool2d(
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride if stride is not None else kernel_size)
     ph, pw = _pair(padding)
+    init = (
+        -jnp.inf
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+    )
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         jax.lax.max,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),

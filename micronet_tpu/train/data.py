@@ -99,8 +99,18 @@ def _synthetic(n_train: int, n_test: int) -> Tuple[np.ndarray, ...]:
 
 
 def load_cifar10(synthetic_ok: bool = True, synthetic_size: int = 2048) -> Cifar10:
+    # native C++ parser for the binary distribution first (fastest), then
+    # the python-pickle batches
+    from . import native_loader
+
     for root in _SEARCH:
-        if root and os.path.isdir(root):
+        if not root:
+            continue
+        bin_root = root.replace("cifar-10-batches-py", "cifar-10-batches-bin")
+        got = native_loader.load_cifar_bin(bin_root)
+        if got is not None:
+            return Cifar10(*got, source="disk")
+        if os.path.isdir(root):
             got = _load_pickle_batches(root)
             if got is not None:
                 return Cifar10(*got, source="disk")
@@ -159,7 +169,12 @@ def epoch_batches(
     if shuffle:
         perm_seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         np.random.RandomState(perm_seed).shuffle(idx)
+    from . import native_loader
+
     end = (n // batch_size) * batch_size if drop_remainder else n
     for i in range(0, end, batch_size):
         j = idx[i : i + batch_size]
-        yield images[j], labels[j]
+        if shuffle and native_loader.available() and images.dtype == np.uint8:
+            yield native_loader.gather_u8(images, j), labels[j]
+        else:
+            yield images[j], labels[j]

@@ -1,0 +1,89 @@
+"""Honest on-device throughput measurement.
+
+Three environment hazards make naive `time.time()` loops lie here
+(SURVEY.md §5 requires first-class measurement):
+
+1. dispatch/RPC launch overhead (this build's TPU sits behind a tunnel
+   with ~50ms+ per-execution round trip);
+2. execution-result caching: repeated launches of the same executable on
+   identical inputs can be served from a cache in ~0 time;
+3. loop-invariant hoisting: iterating a model on inputs that XLA can
+   prove equivalent collapses the loop to one execution.
+
+The harness defeats all three: a single jitted ``lax.scan`` chains each
+step's scalar output back into the next step's input (a true data
+dependency — nothing can be hoisted, elided, or cached across steps), a
+fresh ``seed`` argument makes every *launch* unique, and the per-step
+time is the SLOPE between a short and a long run, cancelling the fixed
+launch overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["per_step_seconds", "throughput"]
+
+
+def _make_runner(step_fn: Callable, k: int):
+    def run(state, x, seed):
+        def body(carry, i):
+            # scale the input by (1 + 1e-12*carry): numerically a no-op,
+            # but a true data dependency on the previous step's output
+            xi = x * (1.0 + 1e-12 * carry.astype(x.dtype)) + seed.astype(
+                x.dtype
+            ) * jnp.asarray(1e-6, x.dtype)
+            y = step_fn(state, xi)
+            return jnp.float32(jnp.sum(y.astype(jnp.float32))), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k))
+        return total
+
+    return jax.jit(run)
+
+
+def per_step_seconds(
+    step_fn: Callable,
+    state,
+    x: jax.Array,
+    *,
+    iters: int = 128,
+    short_frac: float = 0.25,
+) -> float:
+    """Median-of-3 slope estimate of one ``step_fn(state, x)`` execution."""
+    k_short = max(2, int(iters * short_frac))
+    k_long = iters
+    runners = {k: _make_runner(step_fn, k) for k in (k_short, k_long)}
+    for k, r in runners.items():
+        np.asarray(r(state, x, jnp.int32(0)))  # compile + first exec
+
+    def timed(k, seed):
+        t0 = time.perf_counter()
+        np.asarray(runners[k](state, x, jnp.int32(seed)))  # fetch = hard sync
+        return time.perf_counter() - t0
+
+    slopes = []
+    for trial in range(3):
+        ts = timed(k_short, 1000 + trial)
+        tl = timed(k_long, 2000 + trial)
+        slopes.append((tl - ts) / (k_long - k_short))
+    slopes.sort()
+    return max(slopes[1], 1e-9)
+
+
+def throughput(
+    step_fn: Callable,
+    state,
+    x: jax.Array,
+    *,
+    iters: int = 128,
+) -> Tuple[float, float]:
+    """(items_per_second, seconds_per_step) for a batched step; the item
+    count is ``x.shape[0]``."""
+    s = per_step_seconds(step_fn, state, x, iters=iters)
+    return x.shape[0] / s, s

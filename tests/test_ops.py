@@ -80,7 +80,7 @@ def test_int_engine_matches_fused_model():
     x = jax.random.normal(jax.random.PRNGKey(9), (4, 32, 32, 3))
     y_fused = fused(x)
 
-    engine = freeze_int(fused)
+    engine = freeze_int(fused, chain_int8=False)
     n_int = sum(1 for _, m in nnx.iter_modules(engine) if isinstance(m, IntConv2d))
     assert n_int == 9
     y_int = engine(x)
@@ -88,3 +88,20 @@ def test_int_engine_matches_fused_model():
     np.testing.assert_allclose(
         np.asarray(y_int), np.asarray(y_fused), atol=2e-3, rtol=1e-3
     )
+
+    # chained-int8 engine: requant epilogues introduce occasional 1-LSB
+    # differences; logits stay close and predictions agree
+    chained = freeze_int(fused)
+    n_chained = sum(
+        1
+        for _, m in nnx.iter_modules(chained)
+        if isinstance(m, IntConv2d) and m.chained
+    )
+    # all 9 convs chain: 8 into the next conv, the classifier into the
+    # final quantizing avg-pool (receive-only)
+    assert n_chained == 9
+    y_c = chained(x)
+    assert np.mean(
+        np.argmax(np.asarray(y_c), -1) == np.argmax(np.asarray(y_fused), -1)
+    ) == 1.0
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_fused), atol=0.05)
