@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: weight-only int4 matmul (W4A16 decode path).
+
+The LLM stretch config (BASELINE.json configs[4]): weights stored as
+packed int4 + per-column scale, activations stay bf16/f32. For decode the
+matmul is HBM-bandwidth-bound on the weights, so int4 storage is ~4x
+faster than bf16 at the same MXU utilization — provided the unpack is
+free on the VPU, which is what this kernel arranges.
+
+Packing scheme (``pack_int4``): rows [0, K/2) live in the LOW nibble,
+rows [K/2, K) in the HIGH nibble of an int8 of shape (K/2, N). In-kernel
+unpack is two arithmetic shifts + a sublane-axis concatenate — no
+interleaving relayout. Sign-extension: ``(p << 4) >> 4`` for the low
+nibble, ``p >> 4`` for the high nibble (arithmetic shift).
+
+A pure-XLA reference provides the CPU fallback / numerics oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "quantize_int4_weight",
+    "pack_int4",
+    "unpack_int4",
+    "int4_matmul_xla",
+    "int4_matmul",
+    "wo_linear",
+]
+
+
+def quantize_int4_weight(
+    w: jax.Array, axis: int = 0
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-column int4: scale = max|w| / 7 over ``axis`` (the
+    contraction axis), values round-half-away into [-7, 7].
+
+    Returns (w_q int8 in [-7, 7] (K, N), scale f32 broadcastable (1, N)).
+    """
+    absmax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax / 7.0, 1e-8).astype(jnp.float32)
+    q = jnp.sign(w / scale) * jnp.floor(jnp.abs(w / scale) + 0.5)
+    return jnp.clip(q, -7, 7).astype(jnp.int8), scale
+
+
+def pack_int4(w_q: jax.Array) -> jax.Array:
+    """(K, N) int8 in [-8, 7] -> (K/2, N) int8, block-packed (see module
+    docstring). K must be even."""
+    k = w_q.shape[0]
+    assert k % 2 == 0, "K must be even for int4 packing"
+    low = w_q[: k // 2].astype(jnp.uint8) & 0xF
+    high = (w_q[k // 2 :].astype(jnp.uint8) & 0xF) << 4
+    return (low | high).astype(jnp.int8)
+
+
+def _nibbles(p: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Sign-extended (low, high) int4 nibbles of an int8 array.
+
+    Shift-free formulation (Mosaic cannot legalize ``arith.shli`` on TPU):
+    only and/sub/mul/where on int32, which all lower to VPU ops.
+    """
+    p32 = p.astype(jnp.int32) & 0xFF  # unsigned byte view
+    ulow = p32 & 0xF
+    uhigh = (p32 - ulow) // 16  # exact: compiles to a shift-free divide-by-16
+    low = jnp.where(ulow >= 8, ulow - 16, ulow)
+    high = jnp.where(uhigh >= 8, uhigh - 16, uhigh)
+    return low, high
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4`: (K/2, N) int8 -> (K, N) int8."""
+    low, high = _nibbles(packed)
+    return jnp.concatenate([low, high], axis=0).astype(jnp.int8)
+
+
+def int4_matmul_xla(
+    x: jax.Array, packed: jax.Array, scale: jax.Array
+) -> jax.Array:
+    """Reference semantics in plain XLA: dequantize-and-matmul."""
+    w = unpack_int4(packed).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        x.astype(jnp.bfloat16),
+        w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out * scale.reshape(1, -1)
+
+
+def _kernel(x_ref, wp_ref, scale_ref, out_ref):
+    # float-math nibble extraction (integer div/shift are slow or illegal
+    # in Mosaic; bytes 0..255 are exact in f32) and a split-K double dot
+    # (avoids the sublane concatenate relayout)
+    pf = (wp_ref[:].astype(jnp.int32) & 0xFF).astype(jnp.float32)
+    uhigh = jnp.floor(pf * (1.0 / 16.0))
+    ulow = pf - uhigh * 16.0
+    low = jnp.where(ulow >= 8.0, ulow - 16.0, ulow).astype(jnp.bfloat16)
+    high = jnp.where(uhigh >= 8.0, uhigh - 16.0, uhigh).astype(jnp.bfloat16)
+    x = x_ref[:].astype(jnp.bfloat16)
+    k2 = low.shape[0]
+    dn = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        x[:, :k2], low, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        x[:, k2:], high, dn, preferred_element_type=jnp.float32
+    )
+    out_ref[:] = acc * scale_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn"))
+def int4_matmul(
+    x: jax.Array,
+    packed: jax.Array,
+    scale: jax.Array,
+    *,
+    bm: int = 256,
+    bn: int = 512,
+) -> jax.Array:
+    """x (M, K) f32/bf16 @ int4-packed w (K/2, N) * scale (N,) -> (M, N) f32."""
+    m, k = x.shape
+    k2, n = packed.shape
+    assert k == 2 * k2, (x.shape, packed.shape)
+    bm = min(bm, -(-m // 16) * 16)  # bf16 lhs sublane = 16
+    bn = min(bn, -(-n // 128) * 128)
+    mp = -(-m // bm) * bm
+    np_ = -(-n // bn) * bn
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    if np_ != n:
+        packed = jnp.pad(packed, ((0, 0), (0, np_ - n)))
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32).reshape(-1), (n,))
+    scale = jnp.pad(scale, (0, np_ - n)).reshape(1, np_)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(mp // bm, np_ // bn),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k * 2 + k2 * np_ + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, packed, scale)
+    return out[:m, :n]
+
+
+def wo_linear(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.Array:
+    """Weight-only int4 linear over arbitrary leading dims; Pallas on TPU,
+    XLA elsewhere."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() == "tpu":
+        out = int4_matmul(x2, packed, scale)
+    else:
+        out = int4_matmul_xla(x2, packed, scale)
+    return out.reshape(*lead, packed.shape[1])

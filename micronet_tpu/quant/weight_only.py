@@ -1,0 +1,139 @@
+"""Weight-only quantization for large models (LLM decode path).
+
+Applies the per-row/per-column observer machinery to weight-only
+compression: every large 2-D weight in a parameter pytree becomes
+``{packed int4 (or int8), scale}``; matmuls run W4A16 via the Pallas
+``int4_matmul`` kernel (activations stay bf16/f32). This is the stretch
+capability of BASELINE.json configs[4] — net-new vs the reference, built
+on the same shape-polymorphic quantizer axes (SURVEY.md §5
+"long-context": "L"/"C"/"FC" generalize to per-tensor/channel/row).
+
+Two surfaces:
+
+- :class:`WOLinear` — nnx module drop-in; :func:`wo_quantize_linear`
+  converts an existing ``nn.Linear``.
+- :func:`quantize_pytree` / :func:`dequantize_leaf` — framework-agnostic:
+  compress any pytree of arrays (e.g. flax linen params of a transformer)
+  by replacing eligible 2-D leaves with :class:`WOTensor` records.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx, struct
+
+from ..ops.int4_matmul import (
+    int4_matmul_xla,
+    pack_int4,
+    quantize_int4_weight,
+    unpack_int4,
+    wo_linear,
+)
+
+__all__ = [
+    "WOTensor",
+    "WOLinear",
+    "wo_quantize_linear",
+    "quantize_pytree",
+    "dequantize_leaf",
+    "pytree_bytes",
+]
+
+
+@struct.dataclass
+class WOTensor:
+    """A weight-only-quantized 2-D tensor: packed int4 + per-column scale."""
+
+    packed: jax.Array  # (K/2, N) int8
+    scale: jax.Array  # (1, N) f32
+    # static shape info (padding restores odd K)
+    k: int = struct.field(pytree_node=False, default=0)
+
+    def dequantize(self) -> jax.Array:
+        w = unpack_int4(self.packed)[: self.k]
+        return w.astype(jnp.float32) * self.scale
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        if self.packed.shape[0] * 2 == self.k:
+            return wo_linear(x, self.packed, self.scale.reshape(-1))
+        return x @ self.dequantize()  # odd-K fallback
+
+
+def _quantize_2d(w: jax.Array) -> WOTensor:
+    k = w.shape[0]
+    w_q, scale = quantize_int4_weight(w, axis=0)
+    if k % 2:
+        w_q = jnp.pad(w_q, ((0, 1), (0, 0)))
+    return WOTensor(packed=pack_int4(w_q), scale=scale, k=k)
+
+
+class WOLinear(nnx.Module):
+    """Weight-only int4 linear (bias in f32)."""
+
+    def __init__(self, wo: WOTensor, bias: Optional[jax.Array]):
+        self.packed = nnx.Variable(wo.packed)
+        self.scale = nnx.Variable(wo.scale)
+        self.k = wo.k
+        self.bias = nnx.Variable(bias) if bias is not None else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        wo = WOTensor(self.packed.value, self.scale.value, self.k)
+        out = wo.matmul(x)
+        if self.bias is not None:
+            out = out + self.bias.value
+        return out
+
+
+def wo_quantize_linear(linear) -> WOLinear:
+    """Convert a ``micronet_tpu.nn.Linear`` ((in, out) kernel) to int4."""
+    w = linear.weight.value
+    b = None if linear.bias is None else linear.bias.value
+    return WOLinear(_quantize_2d(w), b)
+
+
+def quantize_pytree(
+    params: Any,
+    *,
+    min_size: int = 1 << 16,
+    predicate: Optional[Callable[[Tuple, jax.Array], bool]] = None,
+) -> Any:
+    """Replace large 2-D float leaves of ``params`` with WOTensor records.
+
+    ``predicate(path, leaf)`` can veto individual leaves (e.g. embeddings
+    or layernorm scales); default: every float 2-D leaf with
+    ``size >= min_size`` is quantized along axis 0 (the contraction axis
+    of ``x @ w`` convention).
+    """
+
+    def visit(path, leaf):
+        if (
+            isinstance(leaf, jax.Array)
+            and leaf.ndim == 2
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and leaf.size >= min_size
+            and (predicate is None or predicate(path, leaf))
+        ):
+            return _quantize_2d(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def dequantize_leaf(leaf: Any) -> Any:
+    """Inverse map for :func:`quantize_pytree` results."""
+    if isinstance(leaf, WOTensor):
+        return leaf.dequantize()
+    return leaf
+
+
+def pytree_bytes(params: Any) -> int:
+    """Total storage bytes of a (possibly WO-quantized) pytree."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if isinstance(leaf, jax.Array):
+            total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -1,0 +1,112 @@
+"""Weight-only int4: pack/unpack round trip, kernel vs XLA oracle, pytree
+API, and a tiny transformer decode sanity check."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from micronet_tpu.nn import modules as M
+from micronet_tpu.ops.int4_matmul import (
+    int4_matmul,
+    int4_matmul_xla,
+    pack_int4,
+    quantize_int4_weight,
+    unpack_int4,
+)
+from micronet_tpu.quant.weight_only import (
+    WOTensor,
+    pytree_bytes,
+    quantize_pytree,
+    wo_quantize_linear,
+)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(0)
+    w_q = rng.randint(-7, 8, (128, 64)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(w_q))
+    assert packed.shape == (64, 64)
+    out = unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(out), w_q)
+
+
+def test_int4_matmul_matches_xla():
+    rng = np.random.RandomState(1)
+    x = rng.randn(24, 192).astype(np.float32)  # unaligned M
+    w = rng.randn(192, 130).astype(np.float32) * 0.1
+    w_q, scale = quantize_int4_weight(jnp.asarray(w), axis=0)
+    packed = pack_int4(w_q)
+    ref = int4_matmul_xla(jnp.asarray(x), packed, scale)
+    out = int4_matmul(jnp.asarray(x), packed, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    # int4 error vs the float matmul stays moderate
+    rel = np.abs(np.asarray(ref) - x @ w).max() / np.abs(x @ w).max()
+    assert rel < 0.2
+
+
+def test_wo_linear_and_compression():
+    lin = M.Linear(512, 256, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 512))
+    y_fp = lin(x)
+    wo = wo_quantize_linear(lin)
+    y_q = wo(x)
+    # W4 keeps outputs close
+    err = float(jnp.abs(y_q - y_fp).max() / (jnp.abs(y_fp).max() + 1e-9))
+    assert err < 0.2
+    # ~8x smaller than f32 storage for the weight
+    fp_bytes = 512 * 256 * 4
+    q_bytes = int(wo.packed.value.size) + int(wo.scale.value.size) * 4
+    assert q_bytes < fp_bytes / 6
+
+
+def test_quantize_pytree_and_decode():
+    """Tiny GPT-ish decode: pytree-quantized weights reproduce fp logits
+    closely and shrink the checkpoint ~8x."""
+    d, dff, vocab = 128, 512, 256
+    rng = np.random.RandomState(0)
+    params = {
+        "wq": jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.05),
+        "wk": jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.05),
+        "wv": jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.05),
+        "wo": jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.05),
+        "w1": jnp.asarray(rng.randn(d, dff).astype(np.float32) * 0.05),
+        "w2": jnp.asarray(rng.randn(dff, d).astype(np.float32) * 0.05),
+        "emb": jnp.asarray(rng.randn(vocab, d).astype(np.float32) * 0.05),
+        "ln": jnp.ones((d,), jnp.float32),  # not quantized (1-D)
+    }
+
+    def mm(w, x):
+        return w.matmul(x) if isinstance(w, WOTensor) else x @ w
+
+    def decode(p, tok_ids):
+        x = (
+            p["emb"].dequantize() if isinstance(p["emb"], WOTensor) else p["emb"]
+        )[tok_ids]
+        q, k, v = mm(p["wq"], x), mm(p["wk"], x), mm(p["wv"], x)
+        att = jax.nn.softmax(q @ k.T / np.sqrt(d))
+        x = x + mm(p["wo"], att @ v)
+        x = x * p["ln"]
+        x = x + mm(p["w2"], jax.nn.gelu(mm(p["w1"], x)))
+        emb = p["emb"].dequantize() if isinstance(p["emb"], WOTensor) else p["emb"]
+        return x @ emb.T
+
+    toks = jnp.asarray([3, 17, 250, 9])
+    logits_fp = decode(params, toks)
+
+    qparams = quantize_pytree(params, min_size=1024)
+    n_q = sum(
+        1 for l in jax.tree_util.tree_leaves(qparams, is_leaf=lambda x: isinstance(x, WOTensor))
+        if isinstance(l, WOTensor)
+    )
+    assert n_q == 7  # all 2-D mats incl embedding; ln stays float
+    logits_q = decode(qparams, toks)
+
+    # top-1 agreement on every position
+    assert np.array_equal(
+        np.argmax(np.asarray(logits_fp), -1), np.argmax(np.asarray(logits_q), -1)
+    )
+    # ~7-8x compression
+    ratio = pytree_bytes(params) / pytree_bytes(qparams)
+    assert ratio > 6, ratio
