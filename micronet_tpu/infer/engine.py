@@ -45,9 +45,9 @@ class IntStat(nnx.Variable):
     """Frozen integer-engine state (int8 weights, scales, zero points)."""
 
 
-def _quantize_weight_int8(w, scale):
+def _quantize_weight_int8(w, scale, qmin=-127.0, qmax=127.0):
     q = round_half_away(w / scale)
-    return jnp.clip(q, -127, 127).astype(jnp.int8)
+    return jnp.clip(q, qmin, qmax).astype(jnp.int8)
 
 
 class IntConv2d(nnx.Module):
@@ -94,6 +94,7 @@ class IntConv2d(nnx.Module):
         # TensorRT-style int path)
         self.chained = False
         self.out_scale = IntStat(jnp.ones((), jnp.float32))
+        self.out_qmin, self.out_qmax = -128.0, 127.0
 
     def _epilogue(self, acc: jax.Array, s_x) -> jax.Array:
         """acc int32 -> f32 output or requantized int8 output."""
@@ -103,7 +104,7 @@ class IntConv2d(nnx.Module):
         if not self.chained:
             return out
         q = round_half_away(out / self.out_scale.value)
-        return jnp.clip(q, -128, 127).astype(jnp.int8)
+        return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         s_x = self.act_scale.value
@@ -156,6 +157,8 @@ class IntMaxPool2d(nnx.Module):
         self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
         self.chained = False
         self.out_scale = IntStat(jnp.ones((), jnp.float32))
+        self.a_qmin, self.a_qmax = -128.0, 127.0
+        self.out_qmin, self.out_qmax = -128.0, 127.0
 
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..nn import functional as F
@@ -163,12 +166,12 @@ class IntMaxPool2d(nnx.Module):
         s = self.act_scale.value
         if x.dtype != jnp.int8:
             q = round_half_away(x.astype(jnp.float32) / s)
-            x = jnp.clip(q, -128, 127).astype(jnp.int8)
+            x = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
         y = F.max_pool2d(x, self.kernel_size, self.stride, self.padding)
         if self.chained:
             # pure rescale requant int8 -> int8
             q = round_half_away(y.astype(jnp.float32) * (s / self.out_scale.value))
-            return jnp.clip(q, -128, 127).astype(jnp.int8)
+            return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
         return y.astype(jnp.float32) * s
 
 
@@ -184,6 +187,7 @@ class IntAvgPool2d(nnx.Module):
         self.padding = padding
         self.adaptive_size = adaptive_size
         self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+        self.a_qmin, self.a_qmax = -128.0, 127.0
 
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..nn import functional as F
@@ -191,7 +195,7 @@ class IntAvgPool2d(nnx.Module):
         s = self.act_scale.value
         if x.dtype != jnp.int8:
             q = round_half_away(x.astype(jnp.float32) / s)
-            x = jnp.clip(q, -128, 127).astype(jnp.int8)
+            x = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
         xf = x.astype(jnp.float32) * s
         if self.adaptive_size is not None:
             return F.adaptive_avg_pool2d(xf, self.adaptive_size)
@@ -224,9 +228,10 @@ class IntLinear(nnx.Module):
 def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
     wq_state = m.weight_quantizer
     aq = m.activation_quantizer
-    if wq_state.bits != 8 or aq.bits != 8:
+    if wq_state.bits > 8 or aq.bits > 8 or 1 in (wq_state.bits, aq.bits):
         raise NotImplementedError(
-            "int engine currently freezes W8A8; int4 lands with the packed kernels"
+            "int engine freezes 2..8-bit weights/activations (int8 storage; "
+            "sub-8-bit values ride int8 with narrower clip ranges)"
         )
     if not aq.symmetric:
         raise NotImplementedError(
@@ -235,7 +240,7 @@ def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
         )
     w_scale = wq_state.scale.value.reshape(-1)  # (O,) or (1,)
     w_scale = jnp.broadcast_to(w_scale, (m.weight.value.shape[3],))
-    w_q = _quantize_weight_int8(m.weight.value, w_scale)
+    w_q = _quantize_weight_int8(m.weight.value, w_scale, wq_state.qmin, wq_state.qmax)
     return IntConv2d(
         w_q,
         w_scale,
@@ -289,15 +294,17 @@ def freeze_int(
 
     def _freeze_maxpool(m: qat_iao.QuantMaxPool2d):
         aq = m.activation_quantizer
-        if aq.bits != 8 or not aq.symmetric:
+        if aq.bits > 8 or aq.bits == 1 or not aq.symmetric:
             return m
-        return IntMaxPool2d(
+        pool = IntMaxPool2d(
             m.kernel_size, m.stride, m.padding, aq.scale.value.reshape(())
         )
+        pool.a_qmin, pool.a_qmax = aq.qmin, aq.qmax
+        return pool
 
     def _freeze_avgpool(m):
         aq = m.activation_quantizer
-        if aq.bits != 8 or not aq.symmetric:
+        if aq.bits > 8 or aq.bits == 1 or not aq.symmetric:
             return m
         if isinstance(m, qat_iao.QuantAdaptiveAvgPool2d):
             return IntAvgPool2d(
@@ -323,6 +330,16 @@ def freeze_int(
                 rec(child)
 
     rec(model)
+
+    # the linear chain planner assumes leaf order == dataflow order, which
+    # branching graphs (residual adds) violate: the last conv of a residual
+    # branch is followed in leaf order by the SHORTCUT's conv, not by its
+    # real consumer. Until the planner is dataflow-aware, disable chaining
+    # for graphs containing adds — the unchained engine stays correct.
+    if chain_int8 and any(
+        isinstance(m, qat_iao.QuantAdd) for _, m in nnx.iter_modules(model)
+    ):
+        chain_int8 = False
 
     if chain_int8:
         ordered: list = []
@@ -363,5 +380,7 @@ def freeze_int(
                 if j < len(ordered) and is_receiver(ordered[j]):
                     cur.chained = True
                     cur.out_scale.value = ordered[j].act_scale.value
+                    cur.out_qmin = ordered[j].a_qmin
+                    cur.out_qmax = ordered[j].a_qmax
             i += 1
     return model
