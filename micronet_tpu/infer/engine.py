@@ -33,12 +33,21 @@ import numpy as np
 from flax import nnx
 
 from ..nn import modules as M
+from ..nn.modules import OrderedModule
 from ..nn import qat_iao
 from ..nn.transform import _children
 from ..ops.int_matmul import int8_linear
 from ..quant.rounding import round_half_away
 
-__all__ = ["IntConv2d", "IntLinear", "IntMaxPool2d", "IntAvgPool2d", "freeze_int"]
+__all__ = [
+    "IntConv2d",
+    "IntLinear",
+    "IntMaxPool2d",
+    "IntAvgPool2d",
+    "TernaryConv2d",
+    "freeze_int",
+    "freeze_wbwtab",
+]
 
 
 class IntStat(nnx.Variable):
@@ -50,7 +59,7 @@ def _quantize_weight_int8(w, scale, qmin=-127.0, qmax=127.0):
     return jnp.clip(q, qmin, qmax).astype(jnp.int8)
 
 
-class IntConv2d(nnx.Module):
+class IntConv2d(OrderedModule):
     """Integer conv: int8 in, int8 weights, int32 accumulate, f32 epilogue.
 
     1x1 stride-1 convs lower to the Pallas int8 matmul on TPU; general
@@ -145,7 +154,7 @@ class IntConv2d(nnx.Module):
         return self._epilogue(acc, s_x)
 
 
-class IntMaxPool2d(nnx.Module):
+class IntMaxPool2d(OrderedModule):
     """Frozen QuantMaxPool2d: quantize (or accept chained int8), max-pool in
     int8 (order-preserving under the positive symmetric scale), then either
     requantize to the next layer's scale or dequantize to f32."""
@@ -175,7 +184,7 @@ class IntMaxPool2d(nnx.Module):
         return y.astype(jnp.float32) * s
 
 
-class IntAvgPool2d(nnx.Module):
+class IntAvgPool2d(OrderedModule):
     """Frozen QuantAvgPool2d/QuantAdaptiveAvgPool2d: quantize (or accept
     chained int8) at its own scale, then average in f32 — the reference's
     quant pools quantize the INPUT only (iao/quantize.py:1338-1438), so the
@@ -202,7 +211,7 @@ class IntAvgPool2d(nnx.Module):
         return F.avg_pool2d(xf, self.kernel_size, self.stride, self.padding)
 
 
-class IntLinear(nnx.Module):
+class IntLinear(OrderedModule):
     def __init__(self, w_q, w_scale, act_scale, act_zero_point, bias, a_qmin, a_qmax):
         self.w_q = IntStat(w_q)  # (in, out) int8
         self.w_scale = IntStat(w_scale)  # (out,)
@@ -383,4 +392,86 @@ def freeze_int(
                     cur.out_qmin = ordered[j].a_qmin
                     cur.out_qmax = ordered[j].a_qmax
             i += 1
+    return model
+
+
+# --------------------------------------------------------------------------
+# wbwtab (ternary/binary) engine
+# --------------------------------------------------------------------------
+
+
+class TernaryConv2d(OrderedModule):
+    """Integer execution of a wbwtab conv whose input is binary {-1,+1}.
+
+    Weights decompose as ``w = t * alpha`` with ``t in {-1,0,+1}`` and a
+    positive per-out-channel ``alpha`` (wbwtab/quantize.py:105-149). The
+    sign activations cast to int8 exactly, the conv runs int8 x int8 with
+    int32 accumulation on the MXU, and the epilogue is one multiply by
+    alpha (+ the BN-fused bias).
+    """
+
+    def __init__(self, w_t, alpha, bias, stride, padding, dilation, groups):
+        self.w_t = IntStat(w_t)  # HWIO int8 in {-1,0,+1}
+        self.alpha = IntStat(alpha)  # (O,) f32
+        self.bias = IntStat(bias) if bias is not None else None
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # inputs are exact {-1.0, +1.0} from the sign activation (or a
+        # max-pool of signs); the cast is value-preserving
+        x_q = x.astype(jnp.int8) if x.dtype != jnp.int8 else x
+        acc = jax.lax.conv_general_dilated(
+            x_q,
+            self.w_t.value,
+            window_strides=self.stride,
+            padding=tuple((p, p) for p in self.padding),
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * self.alpha.value
+        if self.bias is not None:
+            out = out + self.bias.value
+        return out
+
+
+def freeze_wbwtab(model: nnx.Module, *, inplace: bool = False) -> nnx.Module:
+    """Convert a wbwtab BN-fused inference model (``fuse_bn_wbwtab``, with
+    weights pre-quantized to ``t * alpha``) into the ternary engine: every
+    quant conv becomes a :class:`TernaryConv2d` (int8 pattern + alpha),
+    replacing the reference's pre-quantized-float evaluation
+    (bn_fused_model_test.py:24-117) with true integer execution."""
+    from ..nn import qat_wbwtab
+    from ..nn.transform import _copy_model
+
+    if not inplace:
+        model = _copy_model(model)
+
+    def freeze(conv):
+        w = conv.weight.value  # = t * alpha, alpha >= 0 per out channel
+        alpha = jnp.max(jnp.abs(w), axis=(0, 1, 2))  # (O,)
+        safe = jnp.maximum(alpha, 1e-12)
+        w_t = round_half_away(w / safe).astype(jnp.int8)
+        return TernaryConv2d(
+            w_t,
+            alpha,
+            None if conv.bias is None else conv.bias.value,
+            conv.stride,
+            conv.padding,
+            conv.dilation,
+            conv.groups,
+        )
+
+    def rec(module: nnx.Module) -> None:
+        for _, child, set_child in _children(module):
+            if type(child) is qat_wbwtab.QuantConv2d and child.quant_inference:
+                set_child(freeze(child))
+            else:
+                rec(child)
+
+    rec(model)
     return model

@@ -9,7 +9,7 @@ from flax import nnx
 from ..nn import modules as M
 
 
-class LeNet(nnx.Module):
+class LeNet(M.OrderedModule):
     """conv-BN-ReLU x2 (+pool) then FC head; 32x32x3 input, NHWC."""
 
     def __init__(self, num_classes: int = 10, *, rngs: nnx.Rngs):

@@ -17,7 +17,7 @@ from ..nn import modules as M
 DEFAULT_CFG = [192, 160, 96, 192, 192, 192, 192, 192]
 
 
-class ConvBNReLU(nnx.Module):
+class ConvBNReLU(M.OrderedModule):
     """conv + BN + ReLU triple (nin.py:4-39) — the BN-fuse rewrite pairs
     the conv with the following BN by adjacency."""
 
@@ -54,7 +54,7 @@ class ConvBNReLU(nnx.Module):
         return self.relu(self.bn(self.conv(x)))
 
 
-class Net(nnx.Module):
+class Net(M.OrderedModule):
     def __init__(self, cfg: Optional[Sequence[int]] = None, num_classes: int = 10, *, rngs: nnx.Rngs):
         if cfg is None:
             cfg = DEFAULT_CFG

@@ -15,7 +15,7 @@ from ..nn import modules as M
 DEFAULT_CFG = [256, 256, 256, 512, 512, 512, 1024, 1024]
 
 
-class ConvBNReLU(nnx.Module):
+class ConvBNReLU(M.OrderedModule):
     """conv+BN+ReLU with optional pre-conv channel shuffle
     (nin_gc.py:18-61)."""
 
@@ -58,7 +58,7 @@ class ConvBNReLU(nnx.Module):
         return self.relu(self.bn(self.conv(x)))
 
 
-class Net(nnx.Module):
+class Net(M.OrderedModule):
     def __init__(self, cfg: Optional[Sequence[int]] = None, num_classes: int = 10, *, rngs: nnx.Rngs):
         if cfg is None:
             cfg = DEFAULT_CFG

@@ -15,7 +15,7 @@ from flax import nnx
 from ..nn import modules as M
 
 
-class BasicBlock(nnx.Module):
+class BasicBlock(M.OrderedModule):
     expansion = 1
 
     def __init__(self, in_channels: int, out_channels: int, stride: int = 1, *, rngs: nnx.Rngs):
@@ -39,7 +39,7 @@ class BasicBlock(nnx.Module):
         return jax.nn.relu(self.add(self.residual_function(x), self.shortcut(x)))
 
 
-class BottleNeck(nnx.Module):
+class BottleNeck(M.OrderedModule):
     expansion = 4
 
     def __init__(self, in_channels: int, out_channels: int, stride: int = 1, *, rngs: nnx.Rngs):
@@ -66,7 +66,7 @@ class BottleNeck(nnx.Module):
         return jax.nn.relu(self.add(self.residual_function(x), self.shortcut(x)))
 
 
-class ResNet(nnx.Module):
+class ResNet(M.OrderedModule):
     def __init__(self, block, num_block, num_classes: int = 10, *, rngs: nnx.Rngs):
         self.in_channels = 64
         self.conv1 = M.Sequential(

@@ -16,6 +16,8 @@ train/eval trace exactly like torch's two graphs).
 
 from __future__ import annotations
 
+import functools
+import itertools
 import math
 from typing import Optional, Sequence, Tuple, Union
 
@@ -24,6 +26,45 @@ import jax.numpy as jnp
 from flax import nnx
 
 from . import functional as F
+
+_ORDER = itertools.count()
+
+
+class OrderedModule(nnx.Module):
+    """nnx.Module that records its construction order.
+
+    flax graph rebuilds (deepcopy, nnx.clone, and even the split/merge
+    inside ``nnx.value_and_grad``/``nnx.jit``) re-insert module attributes
+    ALPHABETICALLY, destroying the definition order that Conv->BN pairing,
+    pruning surgery, and engine chain planning depend on. Every module in
+    this framework therefore stamps ``_mn_order`` at construction —
+    a plain static attribute that rides the graphdef through any rebuild —
+    and :func:`micronet_tpu.nn.transform._children` sorts by it.
+    """
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        orig = cls.__dict__.get("__init__")
+        if orig is None or getattr(orig, "_mn_wrapped", False):
+            if orig is None and "__init__" not in cls.__dict__:
+                # no own __init__: stamp via a trivial one calling super
+                def init(self, *a, _cls=cls, **k):
+                    super(_cls, self).__init__(*a, **k)
+                    if "_mn_order" not in vars(self):
+                        self._mn_order = next(_ORDER)
+
+                init._mn_wrapped = True
+                cls.__init__ = init
+            return
+
+        @functools.wraps(orig)
+        def init(self, *a, **k):
+            orig(self, *a, **k)
+            if "_mn_order" not in vars(self):
+                self._mn_order = next(_ORDER)
+
+        init._mn_wrapped = True
+        cls.__init__ = init
 
 __all__ = [
     "Conv2d",
@@ -71,7 +112,7 @@ def _uniform(key, shape, bound):
     )
 
 
-class Conv2d(nnx.Module):
+class Conv2d(OrderedModule):
     """2-D convolution, NHWC x HWIO (torch nn.Conv2d parity incl. default
     kaiming-uniform init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)))."""
 
@@ -117,7 +158,7 @@ class Conv2d(nnx.Module):
         )
 
 
-class ConvTranspose2d(nnx.Module):
+class ConvTranspose2d(OrderedModule):
     """2-D transposed convolution (torch nn.ConvTranspose2d parity).
 
     Kernel shape (kh, kw, in_channels, out_channels // groups).
@@ -170,7 +211,7 @@ class ConvTranspose2d(nnx.Module):
         )
 
 
-class Linear(nnx.Module):
+class Linear(OrderedModule):
     """Dense layer with kernel (in, out) (torch nn.Linear parity)."""
 
     def __init__(
@@ -192,7 +233,7 @@ class Linear(nnx.Module):
         )
 
 
-class BatchNorm2d(nnx.Module):
+class BatchNorm2d(OrderedModule):
     """Batch normalization over NHWC with torch semantics.
 
     Normalizes with the *biased* batch variance; updates running_var with the
@@ -240,12 +281,12 @@ class BatchNorm2d(nnx.Module):
         return ((x - mean) * inv + self.bias.value).astype(x.dtype)
 
 
-class ReLU(nnx.Module):
+class ReLU(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         return jax.nn.relu(x)
 
 
-class LeakyReLU(nnx.Module):
+class LeakyReLU(OrderedModule):
     def __init__(self, negative_slope: float = 0.01):
         self.negative_slope = negative_slope
 
@@ -253,12 +294,12 @@ class LeakyReLU(nnx.Module):
         return jax.nn.leaky_relu(x, self.negative_slope)
 
 
-class Sigmoid(nnx.Module):
+class Sigmoid(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         return jax.nn.sigmoid(x)
 
 
-class MaxPool2d(nnx.Module):
+class MaxPool2d(OrderedModule):
     def __init__(
         self,
         kernel_size: IntPair,
@@ -273,7 +314,7 @@ class MaxPool2d(nnx.Module):
         return F.max_pool2d(x, self.kernel_size, self.stride, self.padding)
 
 
-class AvgPool2d(nnx.Module):
+class AvgPool2d(OrderedModule):
     def __init__(
         self,
         kernel_size: IntPair,
@@ -288,7 +329,7 @@ class AvgPool2d(nnx.Module):
         return F.avg_pool2d(x, self.kernel_size, self.stride, self.padding)
 
 
-class AdaptiveAvgPool2d(nnx.Module):
+class AdaptiveAvgPool2d(OrderedModule):
     def __init__(self, output_size: IntPair):
         self.output_size = _pair(output_size)
 
@@ -296,7 +337,7 @@ class AdaptiveAvgPool2d(nnx.Module):
         return F.adaptive_avg_pool2d(x, self.output_size)
 
 
-class Add(nnx.Module):
+class Add(OrderedModule):
     """Residual add; exists as a rewrite anchor for QuantAdd
     (base_module/op.py:5-11, resnet.py:57-65)."""
 
@@ -304,17 +345,17 @@ class Add(nnx.Module):
         return res + shortcut
 
 
-class Identity(nnx.Module):
+class Identity(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         return x
 
 
-class Flatten(nnx.Module):
+class Flatten(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         return x.reshape(x.shape[0], -1)
 
 
-class Sequential(nnx.Module):
+class Sequential(OrderedModule):
     """Ordered container; children are named ``layers[i]`` and iterated in
     insertion order, which is what Conv->BN adjacency detection relies on."""
 

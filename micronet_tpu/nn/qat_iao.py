@@ -45,7 +45,7 @@ from ..quant.quantizers import (
     symmetric_qparams,
 )
 from . import functional as F
-from .modules import Conv2d, ConvTranspose2d, IntPair, Linear, _pair
+from .modules import Conv2d, ConvTranspose2d, IntPair, Linear, OrderedModule, _pair
 
 __all__ = [
     "QuantStat",
@@ -70,7 +70,7 @@ class QuantStat(nnx.Variable):
     checkpointed, never optimized (iao/quantize.py:43-59, 181-204)."""
 
 
-class FakeQuantizer(nnx.Module):
+class FakeQuantizer(OrderedModule):
     """One fake-quant chain = observer + qparams + clip-STE round.
 
     Functional equivalent of the reference's
@@ -503,7 +503,7 @@ class QuantLinear(Linear):
         return F.linear(qx, w, None if self.bias is None else self.bias.value)
 
 
-class _QuantActBase(nnx.Module):
+class _QuantActBase(OrderedModule):
     """Activation-only quant wrapper: fake-quant the input, then apply the
     functional op (iao/quantize.py:1160-1438)."""
 
@@ -579,7 +579,7 @@ class QuantAdaptiveAvgPool2d(_QuantActBase):
         return F.adaptive_avg_pool2d(self.activation_quantizer(x), self.output_size)
 
 
-class QuantAdd(nnx.Module):
+class QuantAdd(OrderedModule):
     """Quantized residual add with a union (shared) scale
     (iao/quantize.py:1441-1498).
 

@@ -24,7 +24,7 @@ from flax import nnx
 from ..quant import wbwtab
 from ..quant.config import QuantConfig
 from . import functional as F
-from .modules import Conv2d, ConvTranspose2d
+from .modules import Conv2d, ConvTranspose2d, OrderedModule
 
 __all__ = [
     "ActivationQuantizer",
@@ -34,7 +34,7 @@ __all__ = [
 ]
 
 
-class ActivationQuantizer(nnx.Module):
+class ActivationQuantizer(OrderedModule):
     """Binary activation (A==2) or plain ReLU (wbwtab/quantize.py:79-94)."""
 
     def __init__(self, A: int = 2):

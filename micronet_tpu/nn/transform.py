@@ -37,28 +37,64 @@ __all__ = ["prepare", "prepare_iao", "prepare_dorefa", "prepare_wbwtab"]
 Setter = Callable[[nnx.Module], None]
 
 
-def _children(module: nnx.Module) -> Iterator[Tuple[str, nnx.Module, Setter]]:
-    """Yield (name, child, setter) in insertion order.
+def _order_key(val) -> float:
+    """Definition-order key: a module's own ``_mn_order`` stamp (see
+    OrderedModule) or the min over its descendants (covers containers and
+    user modules that don't subclass OrderedModule)."""
+    own = vars(val).get("_mn_order") if hasattr(val, "__dict__") else None
+    if own is not None:
+        return own
+    best = float("inf")
+    if isinstance(val, nnx.List):
+        for item in val:
+            if isinstance(item, (nnx.Module, nnx.List)):
+                best = min(best, _order_key(item))
+    elif isinstance(val, nnx.Module):
+        for k, v in vars(val).items():
+            if not k.startswith("_") and isinstance(v, (nnx.Module, nnx.List)):
+                best = min(best, _order_key(v))
+    return best
 
-    nnx.List containers are flattened into their parent's scope so that
-    e.g. Sequential's layers behave like torch named_children — which is
-    what Conv->BN adjacency pairing relies on.
+
+def _transfer_stamp(new: nnx.Module, old: nnx.Module) -> None:
+    stamp = vars(old).get("_mn_order")
+    if stamp is not None and isinstance(new, nnx.Module):
+        new._mn_order = stamp
+
+
+def _children(module: nnx.Module) -> Iterator[Tuple[str, nnx.Module, Setter]]:
+    """Yield (name, child, setter) in DEFINITION order.
+
+    Python dict order cannot be trusted here: flax graph rebuilds
+    (deepcopy, nnx.clone, even the split/merge inside nnx.value_and_grad)
+    alphabetize module attributes. Entries are therefore sorted by the
+    construction-order stamps (OrderedModule). nnx.List containers are
+    flattened into their parent's scope (list order is inherently stable)
+    so e.g. Sequential's layers behave like torch named_children — which
+    is what Conv->BN adjacency pairing relies on. Setters transfer the
+    old child's stamp onto its replacement so rewrites keep its position.
     """
-    for name, val in list(vars(module).items()):
-        if name.startswith("_"):
-            continue
+    entries = [
+        (name, val)
+        for name, val in vars(module).items()
+        if not name.startswith("_") and isinstance(val, (nnx.Module, nnx.List))
+    ]
+    entries.sort(key=lambda kv: _order_key(kv[1]))
+    for name, val in entries:
         if isinstance(val, nnx.List):
             for i in range(len(val)):
                 item = val[i]
                 if isinstance(item, nnx.Module):
 
-                    def _set(new, _lst=val, _i=i):
+                    def _set(new, _lst=val, _i=i, _old=item):
+                        _transfer_stamp(new, _old)
                         _lst[_i] = new
 
                     yield f"{name}[{i}]", item, _set
-        elif isinstance(val, nnx.Module):
+        else:
 
-            def _set(new, _mod=module, _name=name):
+            def _set(new, _mod=module, _name=name, _old=val):
+                _transfer_stamp(new, _old)
                 setattr(_mod, _name, new)
 
             yield name, val, _set

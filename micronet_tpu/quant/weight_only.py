@@ -34,6 +34,8 @@ from ..ops.int4_matmul import (
     wo_linear,
 )
 
+from ..nn.modules import OrderedModule as _OrderedModule
+
 __all__ = [
     "WOTensor",
     "WOLinear",
@@ -71,7 +73,7 @@ def _quantize_2d(w: jax.Array) -> WOTensor:
     return WOTensor(packed=pack_int4(w_q), scale=scale, k=k)
 
 
-class WOLinear(nnx.Module):
+class WOLinear(_OrderedModule):
     """Weight-only int4 linear (bias in f32)."""
 
     def __init__(self, wo: WOTensor, bias: Optional[jax.Array]):

@@ -109,3 +109,33 @@ def test_pre_quantize_idempotent():
     ]
     for a, b in zip(w1, w2):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_wbwtab_ternary_engine():
+    """freeze_wbwtab: integer execution of the binary/ternary net matches
+    the pre-quantized-float fused model."""
+    from micronet_tpu.infer import freeze_wbwtab, fuse_bn_wbwtab, TernaryConv2d
+
+    for W in (2, 3):
+        model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+        cfg = QuantConfig(W=W, A=2)
+        q = prepare(model, cfg, method="wbwtab")
+        M.train_mode(q)
+        for i in range(2):
+            q(jax.random.normal(jax.random.PRNGKey(i), (2, 32, 32, 3)))
+        M.eval_mode(q)
+        fused = fuse_bn_wbwtab(q, cfg)
+        M.eval_mode(fused)
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+        y_fused = fused(x)
+
+        engine = freeze_wbwtab(fused)
+        n_t = sum(
+            1 for _, m in nnx.iter_modules(engine) if isinstance(m, TernaryConv2d)
+        )
+        assert n_t == 7  # binary-range convs 2..8
+        y_int = engine(x)
+        np.testing.assert_allclose(
+            np.asarray(y_int), np.asarray(y_fused), atol=2e-3, rtol=1e-3,
+            err_msg=f"W={W}",
+        )
