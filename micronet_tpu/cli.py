@@ -22,11 +22,8 @@ iao|wbwtab bn_fuse.py   bn-fuse --method {iao,wbwtab}
 from __future__ import annotations
 
 import argparse
-import functools
-import os
 import sys
 
-import numpy as np
 
 
 def _build_model(model_type: int, cfg, rngs):
@@ -81,7 +78,6 @@ def _add_quant_flags(p: argparse.ArgumentParser):
 
 
 def cmd_train(args) -> int:
-    import jax
     from flax import nnx
 
     from .nn import prepare, train_mode

@@ -7,7 +7,7 @@ bn_fused_model_test.py:24-117)."""
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from flax import nnx
 from ..quant import dorefa
 from ..quant.config import QuantConfig
 from . import functional as F
-from .modules import Conv2d, ConvTranspose2d, IntPair, Linear
+from .modules import Conv2d, ConvTranspose2d, Linear
 
 __all__ = ["QuantConv2d", "QuantConvTranspose2d", "QuantLinear"]
 

@@ -18,7 +18,6 @@ torch's in-place update).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from ..quant import wbwtab

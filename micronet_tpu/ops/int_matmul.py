@@ -22,7 +22,7 @@ A pure-XLA reference (`*_xla`) provides CPU fallback + numerics oracle;
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ __all__ = [
     "int8_matmul_dequant",
     "int8_matmul_dequant_xla",
     "int8_linear",
+    "binary_act_matmul",
 ]
 
 

@@ -1,6 +1,7 @@
 """Mesh parallelism: data-parallel QAT with auto-reduced observers/BN
 stats, channel tensor parallelism (SURVEY.md §2.9 TPU-native column)."""
 
+from .distributed import dp_shard_map_step, initialize
 from .sharding import (
     channel_sharding_for,
     make_mesh,
@@ -10,6 +11,8 @@ from .sharding import (
 )
 
 __all__ = [
+    "initialize",
+    "dp_shard_map_step",
     "make_mesh",
     "channel_sharding_for",
     "shard_state",

@@ -25,9 +25,8 @@ axis 2 (the reference's OIHW dims 0/1).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx

@@ -19,7 +19,6 @@ Two surfaces:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -27,7 +26,6 @@ import jax.numpy as jnp
 from flax import nnx, struct
 
 from ..ops.int4_matmul import (
-    int4_matmul_xla,
     pack_int4,
     quantize_int4_weight,
     unpack_int4,

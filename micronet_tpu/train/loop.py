@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Iterable, List, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,10 +70,15 @@ class Trainer:
         model: nnx.Module,
         cfg: TrainConfig,
         dataset: Optional[data_lib.Cifar10] = None,
+        mesh=None,
     ):
         self.model = model
         self.cfg = cfg
         self.data = dataset or data_lib.load_cifar10()
+        # data-parallel scale-out: replicate model/optimizer state on the
+        # mesh and shard each batch on the 'data' axis; GSPMD inserts the
+        # observer/BN cross-replica reductions (SURVEY.md §2.9)
+        self.mesh = mesh
         self.best_acc = 0.0
         self.epoch = 0
         # per-parameter Adam (the reference builds per-param groups with a
@@ -86,6 +91,10 @@ class Trainer:
             else optax.adam(learning_rate)
         )(learning_rate=cfg.lr)
         self.optimizer = nnx.Optimizer(model, self.lr_var, wrt=nnx.Param)
+        if mesh is not None:
+            from ..parallel import shard_model_and_optimizer
+
+            shard_model_and_optimizer(model, self.optimizer, mesh)
         self.key = jax.random.PRNGKey(cfg.seed)
 
         @nnx.jit
@@ -128,6 +137,16 @@ class Trainer:
         self._forward_step = _forward_step
         self._eval_step = _eval_step
 
+    def _to_device(self, arr):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(arr)
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            x = shard_batch(x, self.mesh)
+        return x
+
     # -- epochs -----------------------------------------------------------
 
     def train_epoch(self, epoch: int, log: Callable[[str], None] = print) -> float:
@@ -148,15 +167,15 @@ class Trainer:
                 if i >= cfg.ptq_batch:
                     break
                 loss, acc = self._forward_step(
-                    self.model, bkey, jnp.asarray(xb), jnp.asarray(yb)
+                    self.model, bkey, self._to_device(xb), self._to_device(yb)
                 )
             else:
                 loss, acc = self._train_step(
                     self.model,
                     self.optimizer,
                     bkey,
-                    jnp.asarray(xb),
-                    jnp.asarray(yb),
+                    self._to_device(xb),
+                    self._to_device(yb),
                 )
             losses.append(float(loss))
             if i % cfg.log_every == 0:
@@ -181,7 +200,7 @@ class Trainer:
             drop_remainder=False,
         ):
             loss, correct = self._eval_step(
-                self.model, jnp.asarray(xb), jnp.asarray(yb)
+                self.model, self._to_device(xb), self._to_device(yb)
             )
             total_loss += float(loss)
             total_correct += int(correct)
