@@ -1,0 +1,129 @@
+"""Additional torch-parity oracles: ConvTranspose2d, activation/pool quant
+wrappers, PTQ histogram trajectories, QAFT freezing."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+sys.path.insert(0, "/root/reference")
+
+from micronet_tpu.nn import modules as M
+from micronet_tpu.nn import qat_iao
+from micronet_tpu.quant.config import QuantConfig
+
+torch = pytest.importorskip("torch")
+from micronet.compression.quantization.wqaq.iao import quantize as ref_iao  # noqa: E402
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def _from_nchw(y):
+    return y.detach().permute(0, 2, 3, 1).numpy()
+
+
+def test_quant_conv_transpose2d_parity():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 8, 8).astype(np.float32)
+    w = rng.randn(4, 5, 3, 3).astype(np.float32)  # torch convT: (in, out, kh, kw)
+
+    ref = ref_iao.QuantConvTranspose2d(
+        4, 5, 3, stride=2, padding=1, output_padding=1, bias=False,
+        a_bits=8, w_bits=8, q_type=0,
+    )
+    with torch.no_grad():
+        ref.weight.copy_(torch.tensor(w))
+    ref.train()
+
+    ours = qat_iao.QuantConvTranspose2d(
+        4, 5, 3, stride=2, padding=1, output_padding=1, bias=False,
+        cfg=QuantConfig(a_bits=8, w_bits=8), rngs=nnx.Rngs(0),
+    )
+    # ours HWIO-ish transpose kernel: (kh, kw, in, out//groups)
+    ours.weight.value = jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
+
+    for xi in (x, rng.randn(2, 4, 8, 8).astype(np.float32)):
+        y_ref = ref(torch.tensor(xi))
+        y_ours = ours(_nhwc(xi))
+    np.testing.assert_allclose(np.asarray(y_ours), _from_nchw(y_ref), atol=3e-4)
+
+
+@pytest.mark.parametrize(
+    "ref_cls,our_cls,kwargs",
+    [
+        (ref_iao.QuantMaxPool2d, qat_iao.QuantMaxPool2d, dict(kernel_size=2, stride=2)),
+        (ref_iao.QuantAvgPool2d, qat_iao.QuantAvgPool2d, dict(kernel_size=2, stride=2)),
+    ],
+)
+def test_quant_pool_parity(ref_cls, our_cls, kwargs):
+    rng = np.random.RandomState(1)
+    ref = ref_cls(a_bits=8, q_type=0, **kwargs)
+    ref.train()
+    ours = our_cls(cfg=QuantConfig(a_bits=8), **kwargs)
+    for i in range(2):
+        xi = rng.randn(2, 3, 8, 8).astype(np.float32)
+        y_ref = ref(torch.tensor(xi))
+        y_ours = ours(_nhwc(xi))
+    np.testing.assert_allclose(np.asarray(y_ours), _from_nchw(y_ref), atol=2e-4)
+
+
+def test_quant_leaky_relu_sigmoid_parity():
+    rng = np.random.RandomState(2)
+    ref_l = ref_iao.QuantLeakyReLU(negative_slope=0.1, a_bits=8, q_type=0)
+    ref_l.train()
+    our_l = qat_iao.QuantLeakyReLU(0.1, cfg=QuantConfig(a_bits=8))
+    ref_s = ref_iao.QuantSigmoid(a_bits=8, q_type=0)
+    ref_s.train()
+    our_s = qat_iao.QuantSigmoid(QuantConfig(a_bits=8))
+    for i in range(2):
+        xi = rng.randn(2, 3, 4, 4).astype(np.float32)
+        yl_ref = ref_l(torch.tensor(xi))
+        yl_ours = our_l(_nhwc(xi))
+        ys_ref = ref_s(torch.tensor(xi))
+        ys_ours = our_s(_nhwc(xi))
+    np.testing.assert_allclose(np.asarray(yl_ours), _from_nchw(yl_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ys_ours), _from_nchw(ys_ref), atol=2e-4)
+
+
+def test_histogram_observer_trajectory_parity():
+    """PTQ calibration: our percentile-EMA must track the reference
+    HistogramObserver batch by batch."""
+    rng = np.random.RandomState(3)
+    ref_obs = ref_iao.HistogramObserver(q_level="L", percentile=0.99)
+    from micronet_tpu.quant.observers import HistogramState, histogram_update
+
+    state = HistogramState(
+        jnp.zeros((1,)), jnp.zeros((1,)), jnp.zeros((), jnp.bool_)
+    )
+    for i in range(4):
+        xi = rng.randn(2, 3, 6, 6).astype(np.float32) * (1 + i)
+        ref_obs(torch.tensor(xi))
+        state = histogram_update(state, jnp.asarray(xi), percentile=0.99)
+        np.testing.assert_allclose(
+            float(state.max_val[0]), float(ref_obs.max_val), rtol=1e-5,
+            err_msg=f"batch {i}",
+        )
+
+
+def test_qaft_freezes_everything():
+    cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True, qaft=True)
+    conv = qat_iao.QuantBNFuseConv2d(3, 4, 3, padding=1, cfg=cfg, rngs=nnx.Rngs(0))
+    conv.running_mean.value = jnp.asarray(np.random.RandomState(0).randn(4).astype(np.float32))
+    before = {
+        "scale": np.asarray(conv.weight_quantizer.scale.value).copy(),
+        "rm": np.asarray(conv.running_mean.value).copy(),
+    }
+    conv.training = True
+    conv.activation_quantizer.training = True
+    conv.weight_quantizer.training = True
+    for i in range(3):
+        conv(jax.random.normal(jax.random.PRNGKey(i), (2, 8, 8, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(conv.weight_quantizer.scale.value), before["scale"]
+    )
+    np.testing.assert_array_equal(np.asarray(conv.running_mean.value), before["rm"])
