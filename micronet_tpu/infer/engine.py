@@ -85,6 +85,10 @@ class IntConv2d(OrderedModule):
         self.act_zero_point = IntStat(
             jnp.asarray(act_zero_point, jnp.float32).reshape(())
         )
+        # asymmetric weights: per-out-channel zero point of the stored
+        # (q_w - 128) int8 pattern; zeros (and w_symmetric) for symmetric
+        self.w_symmetric = True
+        self.w_zp = IntStat(jnp.zeros((w_q.shape[3],), jnp.float32))
         self.bias = IntStat(bias) if bias is not None else None
         self.stride = stride
         self.padding = padding
@@ -110,7 +114,7 @@ class IntConv2d(OrderedModule):
         self.pallas_pointwise = False
 
     def _epilogue(self, acc: jax.Array, s_x) -> jax.Array:
-        """acc int32 -> f32 output or requantized int8 output."""
+        """acc (int32 or f32) -> f32 output or requantized int8 output."""
         out = acc.astype(jnp.float32) * (s_x * self.w_scale.value)
         if self.bias is not None:
             out = out + self.bias.value
@@ -165,9 +169,18 @@ class IntConv2d(OrderedModule):
             # chained int8 input: already quantized with OUR act scale by
             # the previous layer's requant epilogue
             x_q = x
-        else:
+        elif self.symmetric:
             q = round_half_away(x.astype(jnp.float32) / s_x) + zp
             x_q = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
+        else:
+            # asymmetric (unsigned) activations. The fake-quant integer
+            # value is x_int = clamp(round(x/s) - zp, 0, 255) + zp
+            # (iao/quantize.py:227-239, integer zp); store q0 - 128 as
+            # int8 and fold the (128 + zp) shift into the correction:
+            # conv(x_int, .) = conv(q0 - 128, .) + (128 + zp) * conv(1, .)
+            q0 = round_half_away(x.astype(jnp.float32) / s_x) - zp
+            q0 = jnp.clip(q0, self.a_qmin, self.a_qmax)
+            x_q = (q0 - 128.0).astype(jnp.int8)
         acc = jax.lax.conv_general_dilated(
             x_q,
             self.w_q.value,
@@ -178,22 +191,41 @@ class IntConv2d(OrderedModule):
             feature_group_count=self.groups,
             preferred_element_type=jnp.int32,
         )
-        if not self.symmetric:
-            # zero-point correction: conv(zp·1, w_q) per output position;
-            # padding makes it position-dependent, so compute it on a ones
-            # input (XLA hoists it under jit: every operand is constant)
-            ones = jnp.ones(x.shape[:3] + (x.shape[3],), jnp.int8)
-            corr = jax.lax.conv_general_dilated(
-                ones,
-                self.w_q.value,
+        acc = acc.astype(jnp.float32)
+        kh, kw, cg, co = self.w_q.value.shape
+        g = self.groups
+
+        def conv_like(inp, ker, pref):
+            return jax.lax.conv_general_dilated(
+                inp,
+                ker,
                 window_strides=self.stride,
                 padding=tuple((p, p) for p in self.padding),
                 rhs_dilation=self.dilation,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.groups,
-                preferred_element_type=jnp.int32,
+                feature_group_count=g,
+                preferred_element_type=pref,
             )
-            acc = acc - zp.astype(jnp.int32) * corr
+
+        ones_in = jnp.ones(x.shape[:3] + (x.shape[3],), jnp.int8)
+        if not self.symmetric:
+            # activation zero point (+ the -128 storage shift):
+            # conv(x_int, .) = conv(x_q0, .) + (128 - zp_x) * conv(1, .)
+            corr_w = conv_like(ones_in, self.w_q.value, jnp.int32)
+            acc = acc + (128.0 + zp) * corr_w.astype(jnp.float32)
+        if not self.w_symmetric:
+            # weight zero point: w_int = w_q0 + (128 - zp_w); the cross
+            # terms need the per-position input-window sum (one conv with a
+            # ones kernel, one output per group) and the window count
+            wz = 128.0 + self.w_zp.value  # (O,): w_int = (q0_w - 128) + 128 + zp_w
+            ones_ker = jnp.ones((kh, kw, cg, g), jnp.int8)
+            sum_x = conv_like(x_q, ones_ker, jnp.int32).astype(jnp.float32)
+            sum_x = jnp.repeat(sum_x, co // g, axis=-1)
+            acc = acc + wz * sum_x
+            if not self.symmetric:
+                count = conv_like(ones_in, ones_ker, jnp.int32).astype(jnp.float32)
+                count = jnp.repeat(count, co // g, axis=-1)
+                acc = acc + (128.0 + zp) * wz * count
         return self._epilogue(acc, s_x)
 
 
@@ -285,15 +317,25 @@ def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
             "int engine freezes 2..8-bit weights/activations (int8 storage; "
             "sub-8-bit values ride int8 with narrower clip ranges)"
         )
-    if not aq.symmetric:
-        raise NotImplementedError(
-            "int engine freezes symmetric (q_type=0) activations; the "
-            "asymmetric path needs uint8 plumbing"
-        )
     w_scale = wq_state.scale.value.reshape(-1)  # (O,) or (1,)
     w_scale = jnp.broadcast_to(w_scale, (m.weight.value.shape[3],))
-    w_q = _quantize_weight_int8(m.weight.value, w_scale, wq_state.qmin, wq_state.qmax)
-    return IntConv2d(
+    if wq_state.symmetric:
+        w_q = _quantize_weight_int8(
+            m.weight.value, w_scale, wq_state.qmin, wq_state.qmax
+        )
+        w_zp = None
+    else:
+        # asymmetric weights: w_int = clamp(round(w/s - zp_w), 0, 254) + zp_w;
+        # store q0 - 128 (fits int8), shift 128 + zp_w folds into the
+        # correction terms
+        zp_w = jnp.broadcast_to(
+            wq_state.zero_point.value.reshape(-1), (m.weight.value.shape[3],)
+        )
+        q0 = round_half_away(m.weight.value / w_scale - zp_w)
+        q0 = jnp.clip(q0, wq_state.qmin, wq_state.qmax)
+        w_q = (q0 - 128.0).astype(jnp.int8)
+        w_zp = zp_w
+    out = IntConv2d(
         w_q,
         w_scale,
         aq.scale.value.reshape(()),
@@ -306,11 +348,22 @@ def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
         aq.qmin,
         aq.qmax,
     )
+    if w_zp is not None:
+        out.w_symmetric = False
+        # stored pattern w_q0 = q_w - 128; its zero point relative to the
+        # dequant w = (q_w - zp_w) s_w is (zp_w - 128)... fold as zp_w
+        out.w_zp.value = jnp.asarray(w_zp, jnp.float32)
+    return out
 
 
 def _freeze_linear(m: qat_iao.QuantLinear) -> IntLinear:
     wq_state = m.weight_quantizer
     aq = m.activation_quantizer
+    if not (wq_state.symmetric and aq.symmetric):
+        raise NotImplementedError(
+            "IntLinear freezes symmetric layers; asymmetric decomposition "
+            "is implemented for convs (IntConv2d) only"
+        )
     w_scale = jnp.broadcast_to(
         wq_state.scale.value.reshape(-1), (m.weight.value.shape[1],)
     )

@@ -92,6 +92,12 @@ def shard_model_and_optimizer(
 
 
 def shard_batch(batch: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
-    """Shard the leading (batch) dim over the data axis."""
+    """Shard the leading (batch) dim over the data axis.
+
+    A ragged batch (size not divisible by the axis — e.g. the final eval
+    batch with drop_remainder=False) is replicated instead: correct, just
+    not parallel for that one batch."""
+    if batch.shape[0] % mesh.shape[axis] != 0:
+        return jax.device_put(batch, NamedSharding(mesh, P()))
     spec = P(axis, *([None] * (batch.ndim - 1)))
     return jax.device_put(batch, NamedSharding(mesh, spec))

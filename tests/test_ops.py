@@ -143,3 +143,27 @@ def test_grouped_pointwise_kernel_matches_general_path():
     out = acc.astype(jnp.float32) * (0.05 * jnp.asarray(w_scale)) + jnp.asarray(bias)
     ref = jnp.clip(round_half_away(out / 0.07), -128, 127).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(y_fast), np.asarray(ref))
+
+
+def test_int_engine_asymmetric_activations():
+    """q_type=1 (asymmetric/unsigned) engine: the shifted-int8 storage +
+    folded zero-point correction reproduces the fused fake-quant model."""
+    cfg = QuantConfig(a_bits=8, w_bits=8, q_type=1, bn_fuse=True)
+    model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    q = prepare(model, cfg, method="iao")
+    M.train_mode(q)
+    for i in range(3):
+        q(jax.random.normal(jax.random.PRNGKey(i), (4, 32, 32, 3)))
+    fused = fuse_bn_iao(q, cfg)
+    M.eval_mode(fused)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 32, 32, 3))
+    y_fused = fused(x)
+
+    engine = freeze_int(fused)  # chaining requires symmetric -> unchained
+    assert not any(
+        m.chained for _, m in nnx.iter_modules(engine) if isinstance(m, IntConv2d)
+    )
+    y_int = engine(x)
+    np.testing.assert_allclose(
+        np.asarray(y_int), np.asarray(y_fused), atol=5e-3, rtol=1e-3
+    )
