@@ -55,6 +55,10 @@ class TrainConfig:
     ptq: bool = False
     ptq_batch: int = 200  # forward-only calibration batch count
     log_every: int = 100
+    # rematerialization: recompute activations in the backward pass
+    # instead of storing them (jax.checkpoint) — trades ~30% step time for
+    # O(depth) less activation memory; for models that do not fit HBM
+    remat: bool = False
 
 
 class Trainer:
@@ -97,12 +101,17 @@ class Trainer:
             shard_model_and_optimizer(model, self.optimizer, mesh)
         self.key = jax.random.PRNGKey(cfg.seed)
 
+        use_remat = cfg.remat
+
         @nnx.jit
         def _train_step(model, optimizer, key, images_u8, labels):
             x = data_lib.augment_batch(key, images_u8)
 
             def loss_fn(model):
-                logits = model(x)
+                if use_remat:
+                    logits = nnx.remat(lambda m, xx: m(xx))(model, x)
+                else:
+                    logits = model(x)
                 loss = optax.softmax_cross_entropy_with_integer_labels(
                     logits, labels
                 ).mean()
