@@ -78,6 +78,7 @@ __all__ = [
     "AvgPool2d",
     "AdaptiveAvgPool2d",
     "Add",
+    "Concat",
     "Identity",
     "Flatten",
     "Sequential",
@@ -343,6 +344,18 @@ class Add(OrderedModule):
 
     def __call__(self, res: jax.Array, shortcut: jax.Array) -> jax.Array:
         return res + shortcut
+
+
+class Concat(OrderedModule):
+    """Channel concat rewrite anchor. The reference stubs this out
+    (base_module/op.py:14-24 and the QuantConcat branch are commented,
+    iao/quantize.py:1765-1772); here it is implemented and quantizable."""
+
+    def __init__(self, axis: int = -1):
+        self.axis = axis  # NHWC: channels last
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        return jnp.concatenate([a, b], axis=self.axis)
 
 
 class Identity(OrderedModule):

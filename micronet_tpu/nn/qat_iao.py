@@ -49,6 +49,7 @@ from .modules import Conv2d, ConvTranspose2d, IntPair, Linear, OrderedModule, _p
 
 __all__ = [
     "QuantStat",
+    "QuantConcat",
     "FakeQuantizer",
     "QuantConv2d",
     "QuantConvTranspose2d",
@@ -577,6 +578,44 @@ class QuantAdaptiveAvgPool2d(_QuantActBase):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return F.adaptive_avg_pool2d(self.activation_quantizer(x), self.output_size)
+
+
+class QuantConcat(OrderedModule):
+    """Quantized concat with a union (shared) scale — the op the reference
+    left commented out (iao/quantize.py:1829-1859): both inputs observed,
+    the shared quantizer takes the union min/max, and both sides are
+    fake-quantized with the SAME scale before concatenation, so the
+    int-sim concat is a pure memory op (no per-branch rescale)."""
+
+    def __init__(self, axis: int = -1, *, cfg: QuantConfig):
+        observer = "histogram" if cfg.ptq else "ema"
+        kw = dict(observer=observer, percentile=cfg.percentile)
+        self.axis = axis
+        self.qaft = cfg.qaft
+        self.training = True
+        self.observer_a = FakeQuantizer(cfg.a_bits, symmetric=True, qaft=cfg.qaft, **kw)
+        self.observer_b = FakeQuantizer(cfg.a_bits, symmetric=True, qaft=cfg.qaft, **kw)
+        self.activation_quantizer = FakeQuantizer(
+            cfg.a_bits,
+            symmetric=True if cfg.ptq else cfg.symmetric,
+            qaft=cfg.qaft,
+            union=True,
+            **kw,
+        )
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        if self.training and not self.qaft:
+            self.observer_a.observe(a)
+            self.observer_b.observe(b)
+            self.activation_quantizer.min_val.value = jnp.minimum(
+                self.observer_a.min_val.value, self.observer_b.min_val.value
+            )
+            self.activation_quantizer.max_val.value = jnp.maximum(
+                self.observer_a.max_val.value, self.observer_b.max_val.value
+            )
+        qa = self.activation_quantizer(a)
+        qb = self.activation_quantizer(b)
+        return jnp.concatenate([qa, qb], axis=self.axis)
 
 
 class QuantAdd(OrderedModule):

@@ -232,6 +232,8 @@ def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> N
             set_child(qat_iao.QuantAdaptiveAvgPool2d(child.output_size, cfg=cfg))
         elif type(child) is M.Add:
             set_child(qat_iao.QuantAdd(cfg=cfg))
+        elif type(child) is M.Concat:
+            set_child(qat_iao.QuantConcat(child.axis, cfg=cfg))
         else:
             _add_quant_op_iao(child, cfg, rngs)
 

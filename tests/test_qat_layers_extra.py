@@ -127,3 +127,32 @@ def test_qaft_freezes_everything():
         np.asarray(conv.weight_quantizer.scale.value), before["scale"]
     )
     np.testing.assert_array_equal(np.asarray(conv.running_mean.value), before["rm"])
+
+
+def test_quant_concat_union_scale():
+    """QuantConcat (the op the reference left commented out): both inputs
+    share one scale; output halves are consistent on the shared grid."""
+    from micronet_tpu.nn import prepare, transform
+    from micronet_tpu.nn.qat_iao import QuantConcat
+
+    class Net(M.OrderedModule):
+        def __init__(self, *, rngs):
+            self.conv = M.Conv2d(3, 4, 1, rngs=rngs)
+            self.cat = M.Concat()
+
+        def __call__(self, x):
+            y = self.conv(x)
+            return self.cat(y, x)
+
+    m = Net(rngs=nnx.Rngs(0))
+    q = prepare(m, QuantConfig(a_bits=8, w_bits=8), method="iao")
+    assert any(isinstance(c, QuantConcat) for _, c in nnx.iter_modules(q))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3))
+    out = q(x)
+    assert out.shape == (2, 4, 4, 7)
+    # union scale: the second half (x fake-quantized) uses the SAME scale
+    # as the first half; values land on one shared grid
+    cat = next(c for _, c in nnx.iter_modules(q) if isinstance(c, QuantConcat))
+    s = float(cat.activation_quantizer.scale.value[0])
+    grid = np.asarray(out) / s
+    np.testing.assert_allclose(grid, np.round(grid), atol=1e-3)
