@@ -203,10 +203,18 @@ def cmd_bn_fuse(args) -> int:
 
 
 def cmd_model_test(args) -> int:
+    import dataclasses
+
     from flax import nnx
 
-    from .infer import fuse_bn_iao, fuse_bn_wbwtab, paired_equivalence_eval
+    from .infer import (
+        fuse_bn_iao,
+        fuse_bn_wbwtab,
+        paired_equivalence_eval,
+        pre_quantize_weights,
+    )
     from .nn import prepare, train_mode
+    from .nn.transform import _copy_model
     from .train import data as data_lib
     from .train import load_state
 
@@ -216,7 +224,16 @@ def cmd_model_test(args) -> int:
     if args.model:
         load_state(args.model, q)
     train_mode(q)
-    fused = (fuse_bn_iao if args.method == "iao" else fuse_bn_wbwtab)(q, cfg)
+    if args.method == "dorefa":
+        # dorefa pair (quant_model_para.py/quant_model_test.py): same
+        # checkpoint in a quant_inference copy with weights pre-quantized
+        fused = _copy_model(q)
+        for _, mm in nnx.iter_modules(fused):
+            if hasattr(mm, "quant_inference"):
+                mm.quant_inference = True
+        pre_quantize_weights(fused)
+    else:
+        fused = (fuse_bn_iao if args.method == "iao" else fuse_bn_wbwtab)(q, cfg)
     ds = data_lib.load_cifar10()
     acc_t, acc_i = paired_equivalence_eval(
         q, fused, ds.test_images, ds.test_labels, args.eval_batch_size
@@ -284,7 +301,7 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bn_fuse)
 
     pm = sub.add_parser("model-test", help="paired train/inference equivalence eval")
-    pm.add_argument("--method", choices=["iao", "wbwtab"], default="iao")
+    pm.add_argument("--method", choices=["iao", "wbwtab", "dorefa"], default="iao")
     pm.add_argument("--model_type", type=int, default=1)
     pm.add_argument("--cfg", default="")
     pm.add_argument("--model", default="")

@@ -34,7 +34,7 @@ import numpy as np
 from flax import nnx
 
 from ..nn import modules as M
-from ..nn import qat_iao, qat_wbwtab
+from ..nn import qat_dorefa, qat_iao, qat_wbwtab
 from ..nn.transform import _children, _conv_args, _copy_model
 from ..quant.config import QuantConfig
 
@@ -135,6 +135,17 @@ def pre_quantize_weights(model: nnx.Module) -> nnx.Module:
 
             q, _ = wbq.quantize_weight(m.weight.value, m.W)
             m.weight.value = q
+        elif isinstance(
+            m,
+            (
+                qat_dorefa.QuantConv2d,
+                qat_dorefa.QuantConvTranspose2d,
+                qat_dorefa.QuantLinear,
+            ),
+        ):
+            from ..quant import dorefa as dfq
+
+            m.weight.value = dfq.quantize_weight(m.weight.value, m.w_bits)
     return model
 
 
