@@ -101,3 +101,15 @@ def test_bn_l1_grad_update():
     c0 = np.asarray(grads["model"]["layers"][0]["conv"]["weight"].value)
     c1 = np.asarray(new_grads["model"]["layers"][0]["conv"]["weight"].value)
     np.testing.assert_array_equal(c0, c1)
+
+
+def test_sparsity_report():
+    model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    _rand_gammas(model)
+    from micronet_tpu.prune import sparsity_report
+
+    rep = sparsity_report(model)
+    assert len(rep) == 9  # one entry per BN
+    for v in rep.values():
+        assert v["channels"] in (8, 10)  # cfg widths + 10-way classifier BN
+        assert 0.0 <= v["frac_below_1e-2"] <= 1.0
