@@ -84,7 +84,29 @@ def cmd_train(args) -> int:
     from .train import TrainConfig, Trainer, load_state
 
     rngs = nnx.Rngs(args.seed)
-    model = _build_model(args.model_type, _parse_cfg(args.cfg), rngs)
+    model_cfg = _parse_cfg(args.cfg)
+    if args.prune_quant:
+        # rebuild the pruned architecture from its {cfg, state} checkpoint
+        # (iao/main.py:346-372): read the header cfg first, then load
+        import json as _json
+
+        import numpy as _np
+
+        from .train.checkpoint import load_state as _load
+
+        with _np.load(args.prune_quant) as z:
+            header = _json.loads(bytes(z["__header__"]).decode())
+        model_cfg = header.get("extra", {}).get("cfg", model_cfg)
+        model = _build_model(args.model_type, model_cfg, rngs)
+        _load(args.prune_quant, model)
+    else:
+        model = _build_model(args.model_type, model_cfg, rngs)
+    if args.refine:
+        # float-checkpoint warm start before quantization (--refine,
+        # iao/main.py:402-430)
+        from .train.checkpoint import load_state as _load
+
+        _load(args.refine, model)
 
     cfg = _quant_config(args)
     if args.method == "float":
@@ -274,7 +296,9 @@ def main(argv=None) -> int:
     pt.add_argument("--train_batch_size", type=int, default=256)
     pt.add_argument("--epochs", type=int, default=300)
     pt.add_argument("--seed", type=int, default=1)
-    pt.add_argument("--resume", default="")
+    pt.add_argument("--resume", default="", help="resume a quant checkpoint")
+    pt.add_argument("--refine", default="", help="float checkpoint to warm-start from")
+    pt.add_argument("--prune_quant", default="", help="pruned {cfg,state} checkpoint to quantize")
     pt.add_argument("--save", default="models_save/model.npz")
     pt.add_argument("-sr", dest="sr", action="store_true", help="sparsity train")
     pt.add_argument("--s", type=float, default=1e-4, help="BN L1 lambda")

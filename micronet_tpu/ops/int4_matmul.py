@@ -105,10 +105,16 @@ def _kernel(x_ref, wp_ref, scale_ref, out_ref):
     x = x_ref[:].astype(jnp.bfloat16)
     k2 = low.shape[0]
     dn = (((1,), (0,)), ((), ()))
+    # precision must be DEFAULT: HIGHEST makes Mosaic reject the bf16 dot
+    # ("Bad lhs type"), e.g. under jax_default_matmul_precision=highest
     acc = jax.lax.dot_general(
-        x[:, :k2], low, dn, preferred_element_type=jnp.float32
+        x[:, :k2], low, dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) + jax.lax.dot_general(
-        x[:, k2:], high, dn, preferred_element_type=jnp.float32
+        x[:, k2:], high, dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     out_ref[:] = acc * scale_ref[:]
 
