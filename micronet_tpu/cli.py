@@ -71,6 +71,7 @@ def _add_quant_flags(p: argparse.ArgumentParser):
     p.add_argument("--pretrained_model", action="store_true")
     p.add_argument("--qaft", action="store_true")
     p.add_argument("--ptq", action="store_true")
+    p.add_argument("--ptq_control", action="store_true", help="cap PTQ at 2 epochs")
     p.add_argument("--ptq_batch", type=int, default=200)
     p.add_argument("--percentile", type=float, default=0.9999)
     p.add_argument("--W", type=int, default=2, help="wbwtab: 2 bin, 3 ter, 32 fp")
@@ -85,27 +86,36 @@ def cmd_train(args) -> int:
 
     rngs = nnx.Rngs(args.seed)
     model_cfg = _parse_cfg(args.cfg)
-    if args.prune_quant:
-        # rebuild the pruned architecture from its {cfg, state} checkpoint
-        # (iao/main.py:346-372): read the header cfg first, then load
+
+    def _ckpt_cfg(path):
+        # read the {cfg, state} checkpoint header (iao/main.py:346-372)
         import json as _json
 
         import numpy as _np
 
-        from .train.checkpoint import load_state as _load
-
-        with _np.load(args.prune_quant) as z:
+        with _np.load(path) as z:
             header = _json.loads(bytes(z["__header__"]).decode())
-        model_cfg = header.get("extra", {}).get("cfg", model_cfg)
+        return header.get("extra", {}).get("cfg", model_cfg)
+
+    from .train.checkpoint import load_state as _load
+
+    if args.prune_quant:
+        # pruned FLOAT checkpoint: rebuild the pruned architecture, load,
+        # then quantize below (iao/main.py --prune_quant branch)
+        model_cfg = _ckpt_cfg(args.prune_quant)
         model = _build_model(args.model_type, model_cfg, rngs)
         _load(args.prune_quant, model)
+    elif args.prune_qaft:
+        # pruned QUANT checkpoint for QAFT: rebuild the pruned arch; the
+        # state (incl. quant scale/zp/observers) loads AFTER prepare()
+        # (iao/main.py --prune_qaft branch: prune -> quant -> QAFT handoff)
+        model_cfg = _ckpt_cfg(args.prune_qaft)
+        model = _build_model(args.model_type, model_cfg, rngs)
     else:
         model = _build_model(args.model_type, model_cfg, rngs)
     if args.refine:
         # float-checkpoint warm start before quantization (--refine,
         # iao/main.py:402-430)
-        from .train.checkpoint import load_state as _load
-
         _load(args.refine, model)
 
     cfg = _quant_config(args)
@@ -113,6 +123,8 @@ def cmd_train(args) -> int:
         qmodel = model
     else:
         qmodel = prepare(model, cfg, method=args.method, inplace=True)
+    if args.prune_qaft:
+        _load(args.prune_qaft, qmodel)
     train_mode(qmodel)
 
     tcfg = TrainConfig(
@@ -123,6 +135,7 @@ def cmd_train(args) -> int:
         seed=args.seed,
         ptq=args.ptq,
         ptq_batch=args.ptq_batch,
+        ptq_control=args.ptq_control,
     )
     trainer = Trainer(qmodel, tcfg)
     if args.resume:
@@ -257,9 +270,12 @@ def cmd_model_test(args) -> int:
     else:
         fused = (fuse_bn_iao if args.method == "iao" else fuse_bn_wbwtab)(q, cfg)
     ds = data_lib.load_cifar10()
-    acc_t, acc_i = paired_equivalence_eval(
+    acc_t, acc_i, fps_t, fps_i = paired_equivalence_eval(
         q, fused, ds.test_images, ds.test_labels, args.eval_batch_size
     )
+    # the reference oracle is accuracy match PLUS FPS printed for both
+    # models (quant_model_test.py:193-202)
+    print(f"FPS: train {fps_t:.1f} inference {fps_i:.1f} (x{fps_i / max(fps_t, 1e-9):.2f})")
     ok = abs(acc_t - acc_i) < 0.005
     print("EQUIVALENCE", "OK" if ok else "MISMATCH")
     return 0 if ok else 1
@@ -298,7 +314,8 @@ def main(argv=None) -> int:
     pt.add_argument("--seed", type=int, default=1)
     pt.add_argument("--resume", default="", help="resume a quant checkpoint")
     pt.add_argument("--refine", default="", help="float checkpoint to warm-start from")
-    pt.add_argument("--prune_quant", default="", help="pruned {cfg,state} checkpoint to quantize")
+    pt.add_argument("--prune_quant", default="", help="pruned {cfg,state} FLOAT checkpoint to quantize")
+    pt.add_argument("--prune_qaft", default="", help="pruned QUANT checkpoint to finetune with --qaft")
     pt.add_argument("--save", default="models_save/model.npz")
     pt.add_argument("-sr", dest="sr", action="store_true", help="sparsity train")
     pt.add_argument("--s", type=float, default=1e-4, help="BN L1 lambda")

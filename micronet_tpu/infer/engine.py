@@ -43,6 +43,8 @@ __all__ = [
     "IntLinear",
     "IntMaxPool2d",
     "IntAvgPool2d",
+    "IntAdd",
+    "IntConcat",
     "TernaryConv2d",
     "freeze_int",
     "freeze_wbwtab",
@@ -286,6 +288,62 @@ class IntAvgPool2d(OrderedModule):
         return F.avg_pool2d(xf, self.kernel_size, self.stride, self.padding)
 
 
+class IntAdd(OrderedModule):
+    """Frozen QuantAdd: both inputs share ONE scale (the union-scale design,
+    iao/quantize.py:1441-1498), so the integer add needs no rescale — codes
+    add directly in int32. Inputs arrive chained int8 (already at the
+    shared scale) or f32 (quantized here); the epilogue dequantizes or
+    requantizes to the downstream consumer's scale."""
+
+    def __init__(self, act_scale, a_qmin: float, a_qmax: float):
+        self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+        self.a_qmin, self.a_qmax = a_qmin, a_qmax
+        self.chained = False
+        self.out_scale = IntStat(jnp.ones((), jnp.float32))
+        self.out_qmin, self.out_qmax = -128.0, 127.0
+
+    def _inq(self, x: jax.Array) -> jax.Array:
+        if x.dtype == jnp.int8:
+            return x
+        q = round_half_away(x.astype(jnp.float32) / self.act_scale.value)
+        return jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        s = self.act_scale.value
+        acc = self._inq(a).astype(jnp.int32) + self._inq(b).astype(jnp.int32)
+        if self.chained:
+            q = round_half_away(acc.astype(jnp.float32) * (s / self.out_scale.value))
+            return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
+        return acc.astype(jnp.float32) * s
+
+
+class IntConcat(OrderedModule):
+    """Frozen QuantConcat (union scale, the op the reference stubs out):
+    int8 codes at the shared scale concatenate as a pure memory op."""
+
+    def __init__(self, axis: int, act_scale, a_qmin: float, a_qmax: float):
+        self.axis = axis
+        self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+        self.a_qmin, self.a_qmax = a_qmin, a_qmax
+        self.chained = False
+        self.out_scale = IntStat(jnp.ones((), jnp.float32))
+        self.out_qmin, self.out_qmax = -128.0, 127.0
+
+    def _inq(self, x: jax.Array) -> jax.Array:
+        if x.dtype == jnp.int8:
+            return x
+        q = round_half_away(x.astype(jnp.float32) / self.act_scale.value)
+        return jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        s = self.act_scale.value
+        cat = jnp.concatenate([self._inq(a), self._inq(b)], axis=self.axis)
+        if self.chained:
+            q = round_half_away(cat.astype(jnp.float32) * (s / self.out_scale.value))
+            return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
+        return cat.astype(jnp.float32) * s
+
+
 class IntLinear(OrderedModule):
     def __init__(self, w_q, w_scale, act_scale, act_zero_point, bias, a_qmin, a_qmax):
         self.w_q = IntStat(w_q)  # (in, out) int8
@@ -385,16 +443,25 @@ def freeze_int(
     inplace: bool = False,
     chain_int8: bool = True,
     pallas_pointwise: bool = False,
+    example_input: Optional[jax.Array] = None,
 ) -> nnx.Module:
     """Convert a BN-fused, weight-pre-quantized inference model to the
     integer engine. Symmetric (q_type=0) W8A8 models only for now.
 
-    With ``chain_int8`` the planner wires each IntConv2d's requantizing
+    With ``chain_int8`` the planner wires each emitter's requantizing
     epilogue to the NEXT quantized layer's activation scale whenever only
     order-preserving modules (ReLU/MaxPool/Identity/Flatten — all exact on
     symmetric int8) sit between them, so activations stay int8 across the
     network: 4x less HBM traffic than bouncing through f32 (the
     engine-level optimization TensorRT performs; net-new here).
+
+    Pass ``example_input`` (batch may be 1; real spatial/channel shape) to
+    let the planner TRACE the real dataflow — required for branching
+    graphs: residual adds and concats then chain through
+    :class:`IntAdd`/:class:`IntConcat` via the union-scale design
+    (iao/quantize.py:1441-1498 — both addends share one scale, so the
+    integer add needs no rescale). Without it, a leaf-order fallback
+    handles single-path graphs only.
     """
     from ..nn.transform import _copy_model
 
@@ -423,6 +490,14 @@ def freeze_int(
             m.kernel_size, m.stride, m.padding, aq.scale.value.reshape(())
         )
 
+    def _freeze_addcat(m):
+        aq = m.activation_quantizer
+        if aq.bits > 8 or aq.bits == 1 or not aq.symmetric:
+            return m
+        if isinstance(m, qat_iao.QuantConcat):
+            return IntConcat(m.axis, aq.scale.value.reshape(()), aq.qmin, aq.qmax)
+        return IntAdd(aq.scale.value.reshape(()), aq.qmin, aq.qmax)
+
     def rec(module: nnx.Module) -> None:
         for _, child, set_child in _children(module):
             if type(child) is qat_iao.QuantConv2d:
@@ -435,6 +510,8 @@ def freeze_int(
                 child
             ) is qat_iao.QuantAdaptiveAvgPool2d:
                 set_child(_freeze_avgpool(child))
+            elif type(child) in (qat_iao.QuantAdd, qat_iao.QuantConcat):
+                set_child(_freeze_addcat(child))
             else:
                 rec(child)
 
@@ -444,17 +521,18 @@ def freeze_int(
             if isinstance(m, IntConv2d):
                 m.pallas_pointwise = True
 
-    # the linear chain planner assumes leaf order == dataflow order, which
-    # branching graphs (residual adds) violate: the last conv of a residual
-    # branch is followed in leaf order by the SHORTCUT's conv, not by its
-    # real consumer. Until the planner is dataflow-aware, disable chaining
-    # for graphs containing adds — the unchained engine stays correct.
-    if chain_int8 and any(
-        isinstance(m, qat_iao.QuantAdd) for _, m in nnx.iter_modules(model)
-    ):
-        chain_int8 = False
-
-    if chain_int8:
+    if chain_int8 and example_input is not None:
+        _plan_chains_dataflow(model, example_input)
+    elif chain_int8:
+        # leaf-order fallback (no example input to trace with). Only sound
+        # for single-path graphs: the last conv of a residual/concat branch
+        # is followed in LEAF order by a sibling branch's module, not by
+        # its real consumer — so disable on any multi-input graph.
+        if any(
+            isinstance(m, (IntAdd, IntConcat, qat_iao.QuantAdd, qat_iao.QuantConcat))
+            for _, m in nnx.iter_modules(model)
+        ):
+            return model
         ordered: list = []
 
         def collect(m: nnx.Module) -> None:
@@ -468,35 +546,116 @@ def freeze_int(
                     ordered.append(child)
 
         collect(model)
-        # emitters can requantize their output to a receiver's int8 scale;
-        # receivers accept chained int8 at their own act_scale
-        passthrough = (M.ReLU, M.MaxPool2d, M.Identity, M.Flatten)
-
-        def is_emitter(m):
-            return (isinstance(m, IntConv2d) and m.symmetric) or isinstance(
-                m, IntMaxPool2d
-            )
-
-        def is_receiver(m):
-            return (
-                (isinstance(m, IntConv2d) and m.symmetric)
-                or isinstance(m, (IntMaxPool2d, IntAvgPool2d))
-            )
-
         i = 0
         while i < len(ordered):
             cur = ordered[i]
-            if is_emitter(cur):
+            if _is_emitter(cur):
                 j = i + 1
-                while j < len(ordered) and isinstance(ordered[j], passthrough):
+                while j < len(ordered) and isinstance(ordered[j], _PASSTHROUGH):
                     j += 1
-                if j < len(ordered) and is_receiver(ordered[j]):
-                    cur.chained = True
-                    cur.out_scale.value = ordered[j].act_scale.value
-                    cur.out_qmin = ordered[j].a_qmin
-                    cur.out_qmax = ordered[j].a_qmax
+                if j < len(ordered) and _is_receiver(ordered[j]):
+                    _link(cur, ordered[j])
             i += 1
     return model
+
+
+# passthrough modules between chain links: exact on symmetric int8 codes
+# (ReLU keeps zero at code 0; max-pool is order-preserving; Identity/
+# Flatten are memory ops)
+_PASSTHROUGH = (M.ReLU, M.MaxPool2d, M.Identity, M.Flatten)
+
+
+def _is_emitter(m) -> bool:
+    """Emitters can requantize their output to a receiver's int8 scale."""
+    return (isinstance(m, IntConv2d) and m.symmetric) or isinstance(
+        m, (IntMaxPool2d, IntAdd, IntConcat)
+    )
+
+
+def _is_receiver(m) -> bool:
+    """Receivers accept chained int8 quantized at their own act_scale."""
+    return (isinstance(m, IntConv2d) and m.symmetric) or isinstance(
+        m, (IntMaxPool2d, IntAvgPool2d, IntAdd, IntConcat)
+    )
+
+
+def _link(emitter, receiver) -> None:
+    emitter.chained = True
+    emitter.out_scale.value = receiver.act_scale.value
+    emitter.out_qmin = receiver.a_qmin
+    emitter.out_qmax = receiver.a_qmax
+
+
+def _plan_chains_dataflow(model: nnx.Module, example_input: jax.Array) -> None:
+    """Trace the real consumer graph and chain every emitter whose output
+    feeds exactly one receiver (directly or through passthrough modules).
+
+    Each producer into an IntAdd/IntConcat requantizes to the op's shared
+    union scale independently, so residual/concat graphs chain end to end
+    except where an output fans out to consumers with different scales
+    (those stay f32 — correct by construction)."""
+    from .dataflow import trace_dataflow
+
+    node_types = [
+        IntConv2d,
+        IntLinear,
+        IntMaxPool2d,
+        IntAvgPool2d,
+        IntAdd,
+        IntConcat,
+        TernaryConv2d,
+        # unfrozen fake-quant layers participate as opaque f32 nodes so
+        # chains never jump across them
+        qat_iao.QuantConv2d,
+        qat_iao.QuantConvTranspose2d,
+        qat_iao.QuantLinear,
+        qat_iao.QuantReLU,
+        qat_iao.QuantLeakyReLU,
+        qat_iao.QuantSigmoid,
+        qat_iao.QuantMaxPool2d,
+        qat_iao.QuantAvgPool2d,
+        qat_iao.QuantAdaptiveAvgPool2d,
+        qat_iao.QuantAdd,
+        qat_iao.QuantConcat,
+    ] + list(_PASSTHROUGH)
+    trace = trace_dataflow(model, example_input[:1], node_types)
+    consumers = trace.consumers()
+    counts = trace.call_counts()
+
+    def effective_receivers(m):
+        """Non-passthrough consumers reached through passthrough closure;
+        None = an output escapes the traced graph (fail safe: no chain)."""
+        direct = consumers.get(id(m), [])
+        if not direct:
+            return None
+        seen, out, stack = set(), [], list(direct)
+        while stack:
+            v = stack.pop()
+            if id(v) in seen:
+                continue
+            seen.add(id(v))
+            if isinstance(v, _PASSTHROUGH):
+                nxt = consumers.get(id(v), [])
+                if not nxt:
+                    return None
+                stack.extend(nxt)
+            else:
+                out.append(v)
+        return out
+
+    uniq = {}
+    for mod, _ in trace.calls:
+        uniq.setdefault(id(mod), mod)
+    for m in uniq.values():
+        # multi-call modules (weight sharing) would need one scale per
+        # call site — conservatively left unchained
+        if not _is_emitter(m) or counts[id(m)] != 1:
+            continue
+        recv = effective_receivers(m)
+        if recv is None or len(recv) != 1 or recv[0] is m:
+            continue
+        if _is_receiver(recv[0]):
+            _link(m, recv[0])
 
 
 # --------------------------------------------------------------------------

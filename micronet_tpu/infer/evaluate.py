@@ -66,14 +66,16 @@ def paired_equivalence_eval(
     labels: np.ndarray,
     batch_size: int = 256,
     log: Callable[[str], None] = print,
-) -> Tuple[float, float]:
-    """Accuracy+FPS for both models; returns (train_acc, inference_acc).
+) -> Tuple[float, float, float, float]:
+    """Accuracy+FPS for both models; returns
+    ``(train_acc, inference_acc, train_fps, inference_fps)``.
 
-    The reference prints both and eyeballs equality; callers/tests should
-    assert ``abs(a - b)`` small.
+    The reference prints both and eyeballs equality
+    (quant_model_test.py:193-202 prints accuracy AND FPS for each model);
+    callers/tests should assert ``abs(acc_t - acc_i)`` small.
     """
     acc_t, fps_t = evaluate_model(train_model, images, labels, batch_size)
     acc_i, fps_i = evaluate_model(inference_model, images, labels, batch_size)
     log(f"train-model:     acc {acc_t * 100:.2f}%  {fps_t:.1f} img/s")
     log(f"inference-model: acc {acc_i * 100:.2f}%  {fps_i:.1f} img/s")
-    return acc_t, acc_i
+    return acc_t, acc_i, fps_t, fps_i

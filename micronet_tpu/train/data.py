@@ -142,8 +142,11 @@ def augment_batch(key: jax.Array, images_u8: jax.Array) -> jax.Array:
     """
     n = images_u8.shape[0]
     k1, k2 = jax.random.split(key)
-    x = normalize_batch(images_u8)
-    x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    # pad the RAW uint8 image with 0 (black) BEFORE normalizing, like
+    # torchvision RandomCrop(32, 4): padding pixels normalize to -1, not
+    # to the mid-gray that padding in normalized space would produce
+    x = jnp.pad(images_u8, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    x = normalize_batch(x)
     offs = jax.random.randint(k1, (n, 2), 0, 9)  # 0..8 inclusive
 
     def crop(img, off):

@@ -54,6 +54,9 @@ class TrainConfig:
     seed: int = 1
     ptq: bool = False
     ptq_batch: int = 200  # forward-only calibration batch count
+    # reference caps a PTQ run at 2 epochs only when --ptq_control is set
+    # (iao/main.py:511-513); without it the epoch budget is the caller's
+    ptq_control: bool = False
     log_every: int = 100
     # rematerialization: recompute activations in the backward pass
     # instead of storing them (jax.checkpoint) — trades ~30% step time for
@@ -224,7 +227,7 @@ class Trainer:
     ) -> float:
         cfg = self.cfg
         end = epochs if epochs is not None else cfg.epochs
-        if cfg.ptq:
+        if cfg.ptq and cfg.ptq_control:
             end = min(end, 2)  # PTQ capped at 2 epochs (main.py:511-513)
         for epoch in range(self.epoch, end):
             self.train_epoch(epoch, log)

@@ -15,12 +15,39 @@ import numpy as np
 
 __all__ = ["available", "gather_u8", "load_cifar_bin"]
 
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native")
+)
 _LIB_PATHS = (
-    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libmicronet_host.so"),
+    os.path.join(_NATIVE_DIR, "libmicronet_host.so"),
     os.environ.get("MICRONET_HOST_LIB", ""),
 )
 
+
+def _ensure_built(lib_path: str) -> None:
+    """(Re)build the .so when missing or older than its source — the
+    binary is not committed, so staleness cannot hide behind dlopen
+    succeeding on an outdated artifact."""
+    src = os.path.join(_NATIVE_DIR, "micronet_host.cpp")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # numpy fallback below
+
+
 _lib = None
+_ensure_built(_LIB_PATHS[0])
 for _p in _LIB_PATHS:
     if _p and os.path.exists(_p):
         try:

@@ -33,11 +33,16 @@ __all__ = ["per_step_seconds", "throughput"]
 def _make_runner(step_fn: Callable, k: int):
     def run(state, x, seed):
         def body(carry, i):
-            # scale the input by (1 + 1e-12*carry): numerically a no-op,
-            # but a true data dependency on the previous step's output
-            xi = x * (1.0 + 1e-12 * carry.astype(x.dtype)) + seed.astype(
-                x.dtype
-            ) * jnp.asarray(1e-6, x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                # integer inputs: add a data-dependent scalar that is
+                # numerically zero but not provably so at compile time
+                xi = x + (carry * 1e-12 + seed * 1e-6).astype(x.dtype)
+            else:
+                # scale the input by (1 + 1e-12*carry): numerically a
+                # no-op, but a true data dependency on the previous step
+                xi = x * (1.0 + 1e-12 * carry.astype(x.dtype)) + seed.astype(
+                    x.dtype
+                ) * jnp.asarray(1e-6, x.dtype)
             y = step_fn(state, xi)
             return jnp.float32(jnp.sum(y.astype(jnp.float32))), None
 
