@@ -4,7 +4,16 @@ tools (SURVEY.md §2.7) re-designed as pure tree transforms; the int-sim
 integer engine replaces its TensorRT deploy leg."""
 
 from .bn_fuse import fuse_bn_iao, fuse_bn_wbwtab, pre_quantize_weights
-from .engine import IntConv2d, IntLinear, TernaryConv2d, freeze_int, freeze_wbwtab
+from .engine import (
+    IntAdd,
+    IntConcat,
+    IntConv2d,
+    IntConvTranspose2d,
+    IntLinear,
+    TernaryConv2d,
+    freeze_int,
+    freeze_wbwtab,
+)
 from .evaluate import evaluate_model, paired_equivalence_eval
 
 __all__ = [
@@ -15,7 +24,10 @@ __all__ = [
     "freeze_wbwtab",
     "TernaryConv2d",
     "IntConv2d",
+    "IntConvTranspose2d",
     "IntLinear",
+    "IntAdd",
+    "IntConcat",
     "evaluate_model",
     "paired_equivalence_eval",
 ]

@@ -40,6 +40,7 @@ from ..quant.rounding import round_half_away
 
 __all__ = [
     "IntConv2d",
+    "IntConvTranspose2d",
     "IntLinear",
     "IntMaxPool2d",
     "IntAvgPool2d",
@@ -58,6 +59,16 @@ class IntStat(nnx.Variable):
 def _quantize_weight_int8(w, scale, qmin=-127.0, qmax=127.0):
     q = round_half_away(w / scale)
     return jnp.clip(q, qmin, qmax).astype(jnp.int8)
+
+
+def _maybe_pack_w4(mod, w_q_2d) -> None:
+    """Store symmetric W<=4 codes nibble-packed (2/byte) when the flat
+    contraction dim is even; unpacked lazily by ``mod._weights()``."""
+    from ..ops.int4_matmul import pack_int4
+
+    if w_q_2d.shape[0] % 2 == 0:
+        mod.w_q.value = pack_int4(w_q_2d)
+        mod.w_packed = True
 
 
 class IntConv2d(OrderedModule):
@@ -114,6 +125,23 @@ class IntConv2d(OrderedModule):
         # badly when embedded in the full engine program in this
         # environment (per-pallas_call overhead); default to XLA
         self.pallas_pointwise = False
+        # lower 1x1 stride-1 convs to a (batched, for groups) int8
+        # dot_general instead of conv_general_dilated: XLA's int8 matmul
+        # path maps onto the MXU better than its int8 conv at these shapes
+        self.pointwise_dot = True
+        # W<=4 weights can be stored nibble-packed (2 codes/byte,
+        # ops/int4_matmul.pack_int4): halves checkpoint + HBM weight
+        # traffic; codes unpack on the fly (weights are small vs acts)
+        self.w_packed = False
+        self.w_shape = tuple(w_q.shape)
+
+    def _weights(self) -> jax.Array:
+        if not self.w_packed:
+            return self.w_q.value
+        from ..ops.int4_matmul import unpack_int4
+
+        kh, kw, cg, co = self.w_shape
+        return unpack_int4(self.w_q.value).reshape(kh, kw, cg, co)
 
     def _epilogue(self, acc: jax.Array, s_x) -> jax.Array:
         """acc (int32 or f32) -> f32 output or requantized int8 output."""
@@ -126,7 +154,7 @@ class IntConv2d(OrderedModule):
         return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
 
     def _pointwise_fast_path_ok(self, x: jax.Array) -> bool:
-        kh, kw, cg, co = self.w_q.value.shape
+        kh, kw, cg, co = self.w_shape
         return (
             self.pallas_pointwise
             and x.dtype == jnp.int8
@@ -141,6 +169,49 @@ class IntConv2d(OrderedModule):
             and (co // self.groups) % 128 == 0
         )
 
+    def _pointwise_dot(self, x_q: jax.Array, s_x) -> jax.Array:
+        """1x1 conv as an int8 matmul: (M, C) x (C/g, O) per group with
+        int32 accumulation — XLA's int8 dot_general hits the MXU int path
+        directly, where its int8 convolution does not at these shapes."""
+        n, h, w_, c = x_q.shape
+        g = self.groups
+        kg, co = self.w_shape[2], self.w_shape[3]
+        og = co // g
+        w2 = self._weights()[0, 0]  # (kg, co), out channels group-major
+        m = n * h * w_
+        if g == 1:
+            acc = jax.lax.dot_general(
+                x_q.reshape(m, c),
+                w2,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = acc.astype(jnp.float32) * (s_x * self.w_scale.value)
+            if self.bias is not None:
+                out = out + self.bias.value
+            if self.chained:
+                q = round_half_away(out / self.out_scale.value)
+                out = jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
+            return out.reshape(n, h, w_, co)
+        # grouped: batched dot over the group axis; outputs (g, M, og)
+        xg = x_q.reshape(m, g, kg).transpose(1, 0, 2)
+        # out channels are group-major in co: wg[i] = w2[:, i*og:(i+1)*og]
+        wg = w2.reshape(kg, g, og).transpose(1, 0, 2)
+        acc = jax.lax.dot_general(
+            xg,
+            wg,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        ws = self.w_scale.value.reshape(g, 1, og)
+        out = acc.astype(jnp.float32) * (s_x * ws)
+        if self.bias is not None:
+            out = out + self.bias.value.reshape(g, 1, og)
+        if self.chained:
+            q = round_half_away(out / self.out_scale.value)
+            out = jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
+        return out.transpose(1, 0, 2).reshape(n, h, w_, co)
+
     def __call__(self, x: jax.Array) -> jax.Array:
         s_x = self.act_scale.value
         zp = self.act_zero_point.value
@@ -150,7 +221,7 @@ class IntConv2d(OrderedModule):
             from ..ops.int_matmul import int8_grouped_pointwise
 
             n, h, w_, c = x.shape
-            co = self.w_q.value.shape[3]
+            co = self.w_shape[3]
             bias = (
                 self.bias.value
                 if self.bias is not None
@@ -158,7 +229,7 @@ class IntConv2d(OrderedModule):
             )
             out = int8_grouped_pointwise(
                 x.reshape(n * h * w_, c),
-                self.w_q.value[0, 0],
+                self._weights()[0, 0],
                 self.w_scale.value,
                 bias,
                 s_x,
@@ -174,7 +245,17 @@ class IntConv2d(OrderedModule):
         elif self.symmetric:
             q = round_half_away(x.astype(jnp.float32) / s_x) + zp
             x_q = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
-        else:
+        if (
+            self.pointwise_dot
+            and self.symmetric
+            and self.w_symmetric
+            and self.w_shape[:2] == (1, 1)
+            and self.stride == (1, 1)
+            and self.padding == (0, 0)
+            and self.dilation == (1, 1)
+        ):
+            return self._pointwise_dot(x_q, s_x)
+        if x.dtype != jnp.int8 and not self.symmetric:
             # asymmetric (unsigned) activations. The fake-quant integer
             # value is x_int = clamp(round(x/s) - zp, 0, 255) + zp
             # (iao/quantize.py:227-239, integer zp); store q0 - 128 as
@@ -183,9 +264,10 @@ class IntConv2d(OrderedModule):
             q0 = round_half_away(x.astype(jnp.float32) / s_x) - zp
             q0 = jnp.clip(q0, self.a_qmin, self.a_qmax)
             x_q = (q0 - 128.0).astype(jnp.int8)
+        w_int8 = self._weights()
         acc = jax.lax.conv_general_dilated(
             x_q,
-            self.w_q.value,
+            w_int8,
             window_strides=self.stride,
             padding=tuple((p, p) for p in self.padding),
             rhs_dilation=self.dilation,
@@ -194,7 +276,7 @@ class IntConv2d(OrderedModule):
             preferred_element_type=jnp.int32,
         )
         acc = acc.astype(jnp.float32)
-        kh, kw, cg, co = self.w_q.value.shape
+        kh, kw, cg, co = self.w_shape
         g = self.groups
 
         def conv_like(inp, ker, pref):
@@ -213,7 +295,7 @@ class IntConv2d(OrderedModule):
         if not self.symmetric:
             # activation zero point (+ the -128 storage shift):
             # conv(x_int, .) = conv(x_q0, .) + (128 - zp_x) * conv(1, .)
-            corr_w = conv_like(ones_in, self.w_q.value, jnp.int32)
+            corr_w = conv_like(ones_in, w_int8, jnp.int32)
             acc = acc + (128.0 + zp) * corr_w.astype(jnp.float32)
         if not self.w_symmetric:
             # weight zero point: w_int = w_q0 + (128 - zp_w); the cross
@@ -229,6 +311,88 @@ class IntConv2d(OrderedModule):
                 count = jnp.repeat(count, co // g, axis=-1)
                 acc = acc + (128.0 + zp) * wz * count
         return self._epilogue(acc, s_x)
+
+
+class IntConvTranspose2d(OrderedModule):
+    """Integer transposed conv (QuantConvTranspose2d frozen,
+    iao/quantize.py:510-636): int8 in, int8 weights (LAYER-level scale —
+    the reference's transpose conv has no per-channel branch), int32
+    accumulate, f32 epilogue. Zero points fold into rank-1 corrections
+    exactly as in IntConv2d (a transpose conv is linear too)."""
+
+    def __init__(
+        self,
+        w_q: jax.Array,  # HWIO int8: (kh, kw, Cin, Cout//groups)
+        w_scale: jax.Array,  # scalar
+        act_scale: jax.Array,
+        act_zero_point: jax.Array,
+        bias: Optional[jax.Array],
+        stride,
+        padding,
+        output_padding,
+        dilation,
+        groups: int,
+        a_qmin: float,
+        a_qmax: float,
+    ):
+        self.w_q = IntStat(w_q)
+        self.w_scale = IntStat(jnp.asarray(w_scale, jnp.float32).reshape(()))
+        self.act_scale = IntStat(jnp.asarray(act_scale, jnp.float32).reshape(()))
+        self.act_zero_point = IntStat(
+            jnp.asarray(act_zero_point, jnp.float32).reshape(())
+        )
+        self.bias = IntStat(bias) if bias is not None else None
+        self.stride = stride
+        self.padding = padding
+        self.output_padding = output_padding
+        self.dilation = dilation
+        self.groups = groups
+        self.a_qmin, self.a_qmax = a_qmin, a_qmax
+        self.symmetric = a_qmin < 0
+        self.w_symmetric = True
+        self.w_zp = IntStat(jnp.zeros((), jnp.float32))
+
+    def _convt(self, inp, ker):
+        from ..nn import functional as F
+
+        return F.conv_transpose2d(
+            inp,
+            ker,
+            None,
+            self.stride,
+            self.padding,
+            self.output_padding,
+            self.dilation,
+            self.groups,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s_x = self.act_scale.value
+        zp = self.act_zero_point.value
+        if x.dtype == jnp.int8:
+            x_q = x
+        elif self.symmetric:
+            q = round_half_away(x.astype(jnp.float32) / s_x)
+            x_q = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
+        else:
+            q0 = round_half_away(x.astype(jnp.float32) / s_x) - zp
+            q0 = jnp.clip(q0, self.a_qmin, self.a_qmax)
+            x_q = (q0 - 128.0).astype(jnp.int8)
+        acc = self._convt(x_q, self.w_q.value)
+        ones_in = jnp.ones(x.shape[:3] + (x.shape[3],), jnp.int8)
+        if not self.symmetric:
+            acc = acc + (128.0 + zp) * self._convt(ones_in, self.w_q.value)
+        if not self.w_symmetric:
+            sh_w = 128.0 + self.w_zp.value  # scalar (layer-level)
+            ones_ker = jnp.ones_like(self.w_q.value)
+            acc = acc + sh_w * self._convt(x_q, ones_ker)
+            if not self.symmetric:
+                acc = acc + (128.0 + zp) * sh_w * self._convt(ones_in, ones_ker)
+        out = acc * (s_x * self.w_scale.value)
+        if self.bias is not None:
+            out = out + self.bias.value
+        return out
 
 
 class IntMaxPool2d(OrderedModule):
@@ -345,6 +509,12 @@ class IntConcat(OrderedModule):
 
 
 class IntLinear(OrderedModule):
+    """Integer linear. Symmetric path runs the Pallas fused kernel;
+    asymmetric activations/weights use the same zero-point decomposition
+    as IntConv2d: store ``q0 - 128`` as int8 and fold the ``128 + zp``
+    shifts into rank-1 correction terms (row/col sums), so the matmul
+    itself stays a plain int8 MXU dot."""
+
     def __init__(self, w_q, w_scale, act_scale, act_zero_point, bias, a_qmin, a_qmax):
         self.w_q = IntStat(w_q)  # (in, out) int8
         self.w_scale = IntStat(w_scale)  # (out,)
@@ -355,16 +525,66 @@ class IntLinear(OrderedModule):
         self.bias = IntStat(bias) if bias is not None else None
         self.a_qmin = a_qmin
         self.a_qmax = a_qmax
+        self.symmetric = a_qmin < 0
+        self.w_symmetric = True
+        self.w_zp = IntStat(jnp.zeros((w_q.shape[1],), jnp.float32))
+        self.w_packed = False
+        self.w_shape = tuple(w_q.shape)
+
+    def _weights(self) -> jax.Array:
+        if not self.w_packed:
+            return self.w_q.value
+        from ..ops.int4_matmul import unpack_int4
+
+        return unpack_int4(self.w_q.value)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return int8_linear(
-            x,
-            self.w_q.value,
-            self.w_scale.value,
-            self.act_scale.value,
-            self.act_zero_point.value,
-            None if self.bias is None else self.bias.value,
-        )
+        if self.symmetric and self.w_symmetric:
+            return int8_linear(
+                x,
+                self._weights(),
+                self.w_scale.value,
+                self.act_scale.value,
+                self.act_zero_point.value,
+                None if self.bias is None else self.bias.value,
+            )
+        s_x = self.act_scale.value
+        zp = self.act_zero_point.value
+        lead, k = x.shape[:-1], x.shape[-1]
+        x2 = x.reshape(-1, k).astype(jnp.float32)
+        if self.symmetric:
+            q = round_half_away(x2 / s_x)
+            x_q = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
+            sh_x = 0.0  # x_int == x_q
+        else:
+            # x_int = q0 + zp with q0 = clamp(round(x/s) - zp, 0, 255);
+            # store q0 - 128 (fits int8): x_int = x_q + (128 + zp)
+            q0 = jnp.clip(round_half_away(x2 / s_x) - zp, self.a_qmin, self.a_qmax)
+            x_q = (q0 - 128.0).astype(jnp.int8)
+            sh_x = 128.0 + zp
+        w_q = self._weights()
+        acc = jax.lax.dot_general(
+            x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        colsum_w = jnp.sum(w_q.astype(jnp.int32), axis=0).astype(jnp.float32)
+        if self.w_symmetric:
+            acc = acc + sh_x * colsum_w[None, :]
+        else:
+            # w_int = w_q + (128 + zp_w[o]); expand the product:
+            # x_int.w_int = x_q.w_q + sh_w.rowsum_x + sh_x.colsum_w
+            #               + K.sh_x.sh_w
+            sh_w = 128.0 + self.w_zp.value  # (O,)
+            rowsum_x = jnp.sum(x_q.astype(jnp.int32), axis=1).astype(jnp.float32)
+            acc = (
+                acc
+                + sh_w[None, :] * rowsum_x[:, None]
+                + sh_x * colsum_w[None, :]
+                + float(k) * sh_x * sh_w[None, :]
+            )
+        out = acc * (s_x * self.w_scale.value)[None, :]
+        if self.bias is not None:
+            out = out + self.bias.value
+        return out.reshape(*lead, w_q.shape[1])
 
 
 def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
@@ -411,22 +631,76 @@ def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
         # stored pattern w_q0 = q_w - 128; its zero point relative to the
         # dequant w = (q_w - zp_w) s_w is (zp_w - 128)... fold as zp_w
         out.w_zp.value = jnp.asarray(w_zp, jnp.float32)
+    elif wq_state.bits <= 4:
+        kh, kw, cg, co = out.w_shape
+        _maybe_pack_w4(out, w_q.reshape(kh * kw * cg, co))
+    return out
+
+
+def _freeze_convt(m: qat_iao.QuantConvTranspose2d) -> IntConvTranspose2d:
+    wq_state = m.weight_quantizer
+    aq = m.activation_quantizer
+    if wq_state.bits > 8 or aq.bits > 8 or 1 in (wq_state.bits, aq.bits):
+        raise NotImplementedError(
+            "int engine freezes 2..8-bit weights/activations"
+        )
+    w_scale = wq_state.scale.value.reshape(())  # layer-level scalar
+    if wq_state.symmetric:
+        w_q = _quantize_weight_int8(
+            m.weight.value, w_scale, wq_state.qmin, wq_state.qmax
+        )
+        w_zp = None
+    else:
+        zp_w = wq_state.zero_point.value.reshape(())
+        q0 = round_half_away(m.weight.value / w_scale - zp_w)
+        q0 = jnp.clip(q0, wq_state.qmin, wq_state.qmax)
+        w_q = (q0 - 128.0).astype(jnp.int8)
+        w_zp = zp_w
+    out = IntConvTranspose2d(
+        w_q,
+        w_scale,
+        aq.scale.value.reshape(()),
+        aq.zero_point.value.reshape(()),
+        None if m.bias is None else m.bias.value,
+        m.stride,
+        m.padding,
+        m.output_padding,
+        m.dilation,
+        m.groups,
+        aq.qmin,
+        aq.qmax,
+    )
+    if w_zp is not None:
+        out.w_symmetric = False
+        out.w_zp.value = jnp.asarray(w_zp, jnp.float32)
     return out
 
 
 def _freeze_linear(m: qat_iao.QuantLinear) -> IntLinear:
     wq_state = m.weight_quantizer
     aq = m.activation_quantizer
-    if not (wq_state.symmetric and aq.symmetric):
+    if wq_state.bits > 8 or aq.bits > 8 or 1 in (wq_state.bits, aq.bits):
         raise NotImplementedError(
-            "IntLinear freezes symmetric layers; asymmetric decomposition "
-            "is implemented for convs (IntConv2d) only"
+            "int engine freezes 2..8-bit weights/activations"
         )
     w_scale = jnp.broadcast_to(
         wq_state.scale.value.reshape(-1), (m.weight.value.shape[1],)
     )
-    w_q = _quantize_weight_int8(m.weight.value, w_scale)
-    return IntLinear(
+    if wq_state.symmetric:
+        w_q = _quantize_weight_int8(
+            m.weight.value, w_scale, wq_state.qmin, wq_state.qmax
+        )
+        w_zp = None
+    else:
+        # asymmetric weights: same -128 storage shift as _freeze_conv
+        zp_w = jnp.broadcast_to(
+            wq_state.zero_point.value.reshape(-1), (m.weight.value.shape[1],)
+        )
+        q0 = round_half_away(m.weight.value / w_scale - zp_w)
+        q0 = jnp.clip(q0, wq_state.qmin, wq_state.qmax)
+        w_q = (q0 - 128.0).astype(jnp.int8)
+        w_zp = zp_w
+    out = IntLinear(
         w_q,
         w_scale,
         aq.scale.value.reshape(()),
@@ -435,6 +709,12 @@ def _freeze_linear(m: qat_iao.QuantLinear) -> IntLinear:
         aq.qmin,
         aq.qmax,
     )
+    if w_zp is not None:
+        out.w_symmetric = False
+        out.w_zp.value = jnp.asarray(w_zp, jnp.float32)
+    elif wq_state.bits <= 4:
+        _maybe_pack_w4(out, w_q)
+    return out
 
 
 def freeze_int(
@@ -502,6 +782,8 @@ def freeze_int(
         for _, child, set_child in _children(module):
             if type(child) is qat_iao.QuantConv2d:
                 set_child(_freeze_conv(child))
+            elif type(child) is qat_iao.QuantConvTranspose2d:
+                set_child(_freeze_convt(child))
             elif type(child) is qat_iao.QuantLinear:
                 set_child(_freeze_linear(child))
             elif type(child) is qat_iao.QuantMaxPool2d:
@@ -598,6 +880,7 @@ def _plan_chains_dataflow(model: nnx.Module, example_input: jax.Array) -> None:
 
     node_types = [
         IntConv2d,
+        IntConvTranspose2d,
         IntLinear,
         IntMaxPool2d,
         IntAvgPool2d,

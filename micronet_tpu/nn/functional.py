@@ -79,8 +79,13 @@ def conv_transpose2d(
     output_padding: IntPair = 0,
     dilation: IntPair = 1,
     groups: int = 1,
+    preferred_element_type=jnp.float32,
 ) -> jax.Array:
     """2-D transposed convolution (torch F.conv_transpose2d semantics).
+
+    ``preferred_element_type=jnp.int32`` runs an integer transpose conv
+    (int8 inputs, int32 accumulation) and returns the raw accumulator
+    (no cast back to the input dtype) — the int engine's path.
 
     ``kernel`` has shape (kh, kw, in_channels, out_channels // groups) —
     the HWIO analogue of torch's (in, out // groups, kh, kw). Implemented as
@@ -112,7 +117,7 @@ def conv_transpose2d(
             lhs_dilation=(sh, sw),
             rhs_dilation=(dh, dw),
             dimension_numbers=_CONV_DIMS,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=preferred_element_type,
         )
 
     if groups == 1:
@@ -129,6 +134,8 @@ def conv_transpose2d(
         y = jnp.concatenate(ys, axis=-1)
     if bias is not None:
         y = y + bias.astype(y.dtype)
+    if jnp.issubdtype(preferred_element_type, jnp.integer):
+        return y  # raw int32 accumulator for the int engine
     return y.astype(x.dtype)
 
 

@@ -46,8 +46,12 @@ def quantize_int8(
     x: jax.Array, scale: jax.Array, zero_point: jax.Array, qmin: int, qmax: int
 ) -> jax.Array:
     """fp -> int8 with round-half-away (reference rounding, iao
-    quantize.py:159). XLA version; the Pallas kernel inlines the same."""
-    q = _round_half_away(x.astype(jnp.float32) / scale) + zero_point
+    quantize.py:159). Zero-point convention matches
+    ``quantizers.quantize_int``: ``q = clamp(round(x/s) - zp)`` with
+    dequant ``(q + zp) * s`` — the IAO fake-quant convention
+    (iao/quantize.py:227-239). XLA version; the Pallas kernel inlines the
+    same."""
+    q = _round_half_away(x.astype(jnp.float32) / scale) - zero_point
     return jnp.clip(q, qmin, qmax).astype(jnp.int8)
 
 
@@ -64,6 +68,9 @@ def int8_matmul_dequant_xla(
 
     x: (M, K) float; w_q: (K, N) int8; w_scale: (N,) or scalar;
     x_scale/zero_point: scalars. Returns (M, N) float32.
+
+    Dequant is ``(q + zp) * s`` (IAO convention), so the zp correction
+    ADDS ``zp * colsum(w_q)``.
     """
     x_q = quantize_int8(x, x_scale, x_zero_point, qmin, qmax)
     acc = jax.lax.dot_general(
@@ -73,7 +80,7 @@ def int8_matmul_dequant_xla(
         preferred_element_type=jnp.int32,
     )
     colsum = jnp.sum(w_q.astype(jnp.int32), axis=0)
-    acc = acc - x_zero_point.astype(jnp.int32) * colsum[None, :]
+    acc = acc + x_zero_point.astype(jnp.int32) * colsum[None, :]
     w_scale = jnp.broadcast_to(jnp.asarray(w_scale, jnp.float32), (w_q.shape[1],))
     return acc.astype(jnp.float32) * (x_scale * w_scale)[None, :]
 
@@ -84,7 +91,7 @@ def _kernel(x_ref, wq_ref, wscale_ref, xs_ref, xzp_ref, out_ref):
     zp_x = xzp_ref[0, 0]
     x = x_ref[:].astype(jnp.float32)
     xs = x / s_x
-    q = jnp.sign(xs) * jnp.floor(jnp.abs(xs) + 0.5) + zp_x
+    q = jnp.sign(xs) * jnp.floor(jnp.abs(xs) + 0.5) - zp_x
     x_q = jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
     w_q = wq_ref[:]
     acc = jax.lax.dot_general(
@@ -95,7 +102,7 @@ def _kernel(x_ref, wq_ref, wscale_ref, xs_ref, xzp_ref, out_ref):
         precision=jax.lax.Precision.DEFAULT,  # HIGHEST breaks Mosaic int8 dot
     )
     colsum = jnp.sum(w_q.astype(jnp.int32), axis=0, keepdims=True)
-    acc = acc - zp_x.astype(jnp.int32) * colsum
+    acc = acc + zp_x.astype(jnp.int32) * colsum
     out_ref[:] = acc.astype(jnp.float32) * (s_x * wscale_ref[:])
 
 

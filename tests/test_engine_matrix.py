@@ -1,0 +1,147 @@
+"""Engine coverage matrix: asymmetric IntLinear, IntConvTranspose2d, and
+q_type=1 (asymmetric) end-to-end freezing (VERDICT round-1 items 4/5).
+
+Oracle: the fake-quant eval model with pre-quantized weights — the
+engine's integer execution must reproduce it to float tolerance
+(exactly, up to f32 accumulation order)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from micronet_tpu.infer import freeze_int
+from micronet_tpu.infer.bn_fuse import pre_quantize_weights
+from micronet_tpu.infer.engine import IntConvTranspose2d, IntLinear
+from micronet_tpu.nn import modules as M
+from micronet_tpu.nn import prepare
+from micronet_tpu.quant.config import QuantConfig
+
+
+class MLP(M.OrderedModule):
+    def __init__(self, *, rngs):
+        self.fc1 = M.Linear(12, 32, rngs=rngs)
+        self.relu = M.ReLU()
+        self.fc2 = M.Linear(32, 5, rngs=rngs)
+
+    def __call__(self, x):
+        return self.fc2(self.relu(self.fc1(x)))
+
+
+class UpNet(M.OrderedModule):
+    """conv -> transpose-conv (stride 2 upsample) -> conv."""
+
+    def __init__(self, *, rngs):
+        self.c1 = M.Conv2d(6, 16, 3, padding=1, rngs=rngs)
+        self.up = M.ConvTranspose2d(16, 8, 4, stride=2, padding=1, rngs=rngs)
+        self.c2 = M.Conv2d(8, 4, 1, rngs=rngs)
+
+    def __call__(self, x):
+        return self.c2(self.up(self.c1(x)))
+
+
+def _prep(model, q_type, shape):
+    cfg = QuantConfig(a_bits=8, w_bits=8, q_type=q_type)
+    q = prepare(model, cfg, method="iao")
+    M.train_mode(q)
+    for i in range(3):
+        q(jax.random.normal(jax.random.PRNGKey(i), shape))
+    M.eval_mode(q)
+    pre_quantize_weights(q)
+    return q
+
+
+def _check(q, x, atol=1e-4, example_input=None):
+    ref = q(x)
+    eng = freeze_int(q, example_input=example_input)
+    M.eval_mode(eng)
+    got = eng(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=atol)
+    return eng
+
+
+def test_int_linear_symmetric():
+    q = _prep(MLP(rngs=nnx.Rngs(0)), 0, (4, 12))
+    eng = _check(q, jax.random.normal(jax.random.PRNGKey(9), (4, 12)))
+    assert sum(1 for _, m in nnx.iter_modules(eng) if isinstance(m, IntLinear)) == 2
+
+
+def test_int_linear_asymmetric():
+    # q_type=1: asymmetric activations AND weights — the decomposition
+    # path (rank-1 corrections) must reproduce fake-quant
+    q = _prep(MLP(rngs=nnx.Rngs(0)), 1, (4, 12))
+    eng = _check(q, jax.random.normal(jax.random.PRNGKey(9), (4, 12)))
+    lins = [m for _, m in nnx.iter_modules(eng) if isinstance(m, IntLinear)]
+    assert len(lins) == 2 and not any(m.symmetric for m in lins)
+    assert not any(m.w_symmetric for m in lins)
+
+
+def test_int_conv_transpose_symmetric():
+    q = _prep(UpNet(rngs=nnx.Rngs(0)), 0, (2, 8, 8, 6))
+    eng = _check(q, jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 6)))
+    assert any(isinstance(m, IntConvTranspose2d) for _, m in nnx.iter_modules(eng))
+
+
+def test_int_conv_transpose_asymmetric():
+    q = _prep(UpNet(rngs=nnx.Rngs(0)), 1, (2, 8, 8, 6))
+    eng = _check(q, jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 6)))
+    ups = [m for _, m in nnx.iter_modules(eng) if isinstance(m, IntConvTranspose2d)]
+    assert len(ups) == 1 and not ups[0].symmetric and not ups[0].w_symmetric
+
+
+def test_freeze_q_type1_nin_end_to_end():
+    # a q_type=1 W8A8 model with a Linear head freezes completely and
+    # matches (the round-1 gap: asym IntLinear raised NotImplementedError)
+    class ConvMLP(M.OrderedModule):
+        def __init__(self, *, rngs):
+            self.conv = M.Conv2d(3, 16, 3, padding=1, rngs=rngs)
+            self.relu = M.ReLU()
+            self.pool = M.MaxPool2d(2, 2, 0)
+            self.flat = M.Flatten()
+            self.fc = M.Linear(16 * 4 * 4, 10, rngs=rngs)
+
+        def __call__(self, x):
+            return self.fc(self.flat(self.pool(self.relu(self.conv(x)))))
+
+    q = _prep(ConvMLP(rngs=nnx.Rngs(0)), 1, (4, 8, 8, 3))
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 8, 3))
+    _check(q, x, example_input=x)
+
+
+def test_w4_weights_pack_and_match():
+    # symmetric W4A8: weights store nibble-packed (2 codes/byte) and the
+    # engine still reproduces fake-quant exactly
+    from micronet_tpu.infer.engine import IntConv2d
+
+    class Small(M.OrderedModule):
+        def __init__(self, *, rngs):
+            self.c1 = M.Conv2d(8, 16, 3, padding=1, rngs=rngs)
+            self.relu = M.ReLU()
+            self.c2 = M.Conv2d(16, 8, 1, rngs=rngs)
+            self.flat = M.Flatten()
+            self.fc = M.Linear(8 * 8 * 8, 4, rngs=rngs)
+
+        def __call__(self, x):
+            return self.fc(self.flat(self.c2(self.relu(self.c1(x)))))
+
+    cfg = QuantConfig(a_bits=8, w_bits=4)
+    q = prepare(Small(rngs=nnx.Rngs(0)), cfg, method="iao")
+    M.train_mode(q)
+    for i in range(3):
+        q(jax.random.normal(jax.random.PRNGKey(i), (4, 8, 8, 8)))
+    M.eval_mode(q)
+    pre_quantize_weights(q)
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 8, 8))
+    ref = q(x)
+    eng = freeze_int(q, example_input=x)
+    M.eval_mode(eng)
+    got = eng(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    convs = [m for _, m in nnx.iter_modules(eng) if isinstance(m, IntConv2d)]
+    lins = [m for _, m in nnx.iter_modules(eng) if isinstance(m, IntLinear)]
+    assert all(m.w_packed for m in convs), [m.w_packed for m in convs]
+    assert all(m.w_packed for m in lins)
+    # packed arrays really are half-size on the contraction dim
+    for m in convs:
+        kh, kw, cg, co = m.w_shape
+        assert m.w_q.value.shape == (kh * kw * cg // 2, co)
