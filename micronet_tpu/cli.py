@@ -234,6 +234,13 @@ def cmd_bn_fuse(args) -> int:
     fused = (fuse_bn_iao if args.method == "iao" else fuse_bn_wbwtab)(q, cfg)
     save_state(args.save, fused)
     print(f"saved bn-fused inference model to {args.save}")
+    if args.dump:
+        from .infer.dump import dump_model_txt, dump_params_json
+
+        base = args.save.rsplit(".", 1)[0]
+        dump_model_txt(base + ".txt", fused)
+        dump_params_json(base + "_para.json", fused)
+        print(f"dumped parameters to {base}.txt / {base}_para.json")
     return 0
 
 
@@ -338,6 +345,12 @@ def main(argv=None) -> int:
     pb.add_argument("--cfg", default="")
     pb.add_argument("--model", default="")
     pb.add_argument("--save", default="models_save/bn_fused.npz")
+    pb.add_argument(
+        "--dump",
+        action="store_true",
+        help="also write human-readable .txt + .json parameter dumps "
+        "(reference bn_fuse.py:155-200)",
+    )
     _add_quant_flags(pb)
     pb.set_defaults(fn=cmd_bn_fuse)
 

@@ -154,3 +154,36 @@ def test_shard_map_dp_step():
     )
     assert bool(fq.initialized.value)
     assert float(fq.scale.value[0]) > 0
+
+
+def test_cli_bn_fuse_dump(tmp_path):
+    """bn-fuse --dump writes the .txt module-tree/parameter dump and the
+    JSON summary with quant scales inlined (reference bn_fuse.py:155-200)."""
+    import json
+
+    from micronet_tpu import cli
+
+    save = str(tmp_path / "fused.npz")
+    rc = cli.main(
+        [
+            "bn-fuse",
+            "--model_type",
+            "0",
+            "--a_bits",
+            "8",
+            "--w_bits",
+            "8",
+            "--bn_fuse",
+            "--save",
+            save,
+            "--dump",
+        ]
+    )
+    assert rc == 0
+    txt = (tmp_path / "fused.txt").read_text()
+    assert "# module tree" in txt and "# parameters" in txt
+    assert "QuantConv2d" in txt
+    para = json.loads((tmp_path / "fused_para.json").read_text())
+    scale_keys = [k for k in para if k.endswith("scale/.value")]
+    assert scale_keys, f"no scale entries in dump: {list(para)[:5]}"
+    assert all("values" in para[k] for k in scale_keys)
