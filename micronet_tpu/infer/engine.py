@@ -125,10 +125,27 @@ class IntConv2d(OrderedModule):
         # badly when embedded in the full engine program in this
         # environment (per-pallas_call overhead); default to XLA
         self.pallas_pointwise = False
-        # lower 1x1 stride-1 convs to a (batched, for groups) int8
-        # dot_general instead of conv_general_dilated: XLA's int8 matmul
-        # path maps onto the MXU better than its int8 conv at these shapes
-        self.pointwise_dot = True
+        # opt-in: lower 1x1 stride-1 convs to a (batched, for groups) int8
+        # dot_general instead of conv_general_dilated. Measured slower than
+        # the int8 conv for grouped shapes (benchmarks/engine_layer_profile:
+        # L1 3.95 vs 2.91 ms — the group transpose relayout dominates), so
+        # off by default; available for ungrouped large-channel cases
+        self.pointwise_dot = False
+        # default lowering: run the conv on the int8 CODES cast to bf16
+        # with f32 accumulation. Bit-exact whenever every dot product fits
+        # f32's 24-bit integer window: |codes| <= 128 on both sides means
+        # products <= 2^14, so k*k*(Cin/g) <= 1024 elements keep partial
+        # sums < 2^24. The MXU's native input type is bf16 — measured
+        # faster-or-equal than the int8 conv at every NIN-GC shape
+        # (engine_layer_profile: L6 0.113 vs 0.824 ms, L4 1.93 vs 2.22)
+        kh, kw, cg, _ = w_q.shape
+        self.bf16_codes = kh * kw * cg <= 1024
+        # tiny-Cin ungrouped convs (the image-input first layer, Cin=3)
+        # waste the MXU's channel lanes on codes; conv over the DEQUANTIZED
+        # codes in f32 — exactly the computation the fake-quant model runs,
+        # so equivalence is preserved — measures 0.72 vs 1.26 ms at the NIN
+        # first-layer shape (engine_layer_profile L0)
+        self.f32_dequant = groups == 1 and cg < 8
         # W<=4 weights can be stored nibble-packed (2 codes/byte,
         # ops/int4_matmul.pack_int4): halves checkpoint + HBM weight
         # traffic; codes unpack on the fly (weights are small vs acts)
@@ -265,17 +282,48 @@ class IntConv2d(OrderedModule):
             q0 = jnp.clip(q0, self.a_qmin, self.a_qmax)
             x_q = (q0 - 128.0).astype(jnp.int8)
         w_int8 = self._weights()
-        acc = jax.lax.conv_general_dilated(
-            x_q,
-            w_int8,
-            window_strides=self.stride,
-            padding=tuple((p, p) for p in self.padding),
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.int32,
-        )
-        acc = acc.astype(jnp.float32)
+        if self.f32_dequant and self.symmetric and self.w_symmetric:
+            x_dq = x_q.astype(jnp.float32) * s_x
+            w_dq = w_int8.astype(jnp.float32) * self.w_scale.value
+            out = jax.lax.conv_general_dilated(
+                x_dq,
+                w_dq,
+                window_strides=self.stride,
+                padding=tuple((p, p) for p in self.padding),
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
+            if self.bias is not None:
+                out = out + self.bias.value
+            if not self.chained:
+                return out
+            q = round_half_away(out / self.out_scale.value)
+            return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
+        if self.bf16_codes and self.symmetric and self.w_symmetric:
+            # codes-as-bf16 conv: exact (see __init__) and rides the MXU's
+            # native bf16 path; accumulator is already f32
+            acc = jax.lax.conv_general_dilated(
+                x_q.astype(jnp.bfloat16),
+                w_int8.astype(jnp.bfloat16),
+                window_strides=self.stride,
+                padding=tuple((p, p) for p in self.padding),
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc = jax.lax.conv_general_dilated(
+                x_q,
+                w_int8,
+                window_strides=self.stride,
+                padding=tuple((p, p) for p in self.padding),
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
         kh, kw, cg, co = self.w_shape
         g = self.groups
 
@@ -964,20 +1012,30 @@ class TernaryConv2d(OrderedModule):
         self.padding = padding
         self.dilation = dilation
         self.groups = groups
+        # +/-1 products are exact in bf16 and partial sums (<= k*k*Cin/g)
+        # sit far inside f32's integer window, so the conv can always ride
+        # the MXU's native bf16 path bit-exactly (see IntConv2d.bf16_codes)
+        self.bf16_codes = True
 
     def __call__(self, x: jax.Array) -> jax.Array:
         # inputs are exact {-1.0, +1.0} from the sign activation (or a
         # max-pool of signs); the cast is value-preserving
         x_q = x.astype(jnp.int8) if x.dtype != jnp.int8 else x
+        lhs, rhs, pref = (
+            (x_q.astype(jnp.bfloat16), self.w_t.value.astype(jnp.bfloat16),
+             jnp.float32)
+            if self.bf16_codes
+            else (x_q, self.w_t.value, jnp.int32)
+        )
         acc = jax.lax.conv_general_dilated(
-            x_q,
-            self.w_t.value,
+            lhs,
+            rhs,
             window_strides=self.stride,
             padding=tuple((p, p) for p in self.padding),
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.int32,
+            preferred_element_type=pref,
         )
         out = acc.astype(jnp.float32) * self.alpha.value
         if self.bias is not None:
