@@ -1,16 +1,24 @@
 """Benchmark: flagship quantized inference throughput on the current chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Measures NIN-GC IAO W8A8 (bn-fused, weight-pre-quantized inference graph)
-images/sec at batch 1024 on the default JAX backend, using the
-slope-based on-device harness in micronet_tpu.utils.timing (naive
-wall-clock timing lies in this environment: launch RPC overhead +
-execution-result caching). The reference publishes no throughput numbers
-(SURVEY.md §6), so vs_baseline compares against the same model's FP32
-eval throughput here (quantized / fp32) — the reference's "FPS improves"
-oracle made quantitative.
+Headline: NIN-GC IAO W8A8 (bn-fused, weight-pre-quantized, int engine)
+images/sec at batch 1024 vs the same model's FP32 eval throughput — the
+reference's "FPS improves after deployment conversion" oracle
+(dorefa/quant_model_test/quant_model_test.py:28-65) made quantitative.
+The reference publishes no absolute throughput numbers (SURVEY.md §6).
+
+`detail` additionally captures (VERDICT r1 item 8):
+  - ResNet18 int8 engine vs fp32 (residual graphs through the
+    dataflow-traced chain planner, IntAdd union-scale path),
+  - QAT training-step throughput (fp32 / IAO W8A8 / IAO + bn_fuse),
+  - the weight-only int4 W4A16 Pallas decode kernel vs bf16 matmul at a
+    Llama-3-8B MLP shape.
+
+All timings use the slope-based on-device harness in
+micronet_tpu.utils.timing (naive wall-clock lies in this environment:
+launch RPC overhead + execution-result caching).
 """
 
 import json
@@ -20,21 +28,26 @@ import jax.numpy as jnp
 from flax import nnx
 
 
-def main():
+def _eval_fps(model, x):
+    from micronet_tpu.utils import throughput
+
+    gdef, state = nnx.split(model)
+    fps, _ = throughput(lambda s, xi: nnx.merge(gdef, s)(xi), state, x)
+    return fps
+
+
+def _bench_nin_gc(detail):
     from micronet_tpu.infer import freeze_int, fuse_bn_iao
     from micronet_tpu.models import nin_gc
     from micronet_tpu.nn import eval_mode, prepare, train_mode
     from micronet_tpu.quant.config import QuantConfig
-    from micronet_tpu.utils import throughput
 
     batch = 1024
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
 
-    # fp32 baseline
     fp_model = nin_gc.Net(rngs=nnx.Rngs(0))
     eval_mode(fp_model)
-    gdef_f, state_f = nnx.split(fp_model)
-    fps_fp, _ = throughput(lambda s, xi: nnx.merge(gdef_f, s)(xi), state_f, x)
+    fps_fp = _eval_fps(fp_model, x)
 
     # quantized inference graphs: QAT-prepared, BN-fused, pre-quantized
     cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
@@ -44,15 +57,136 @@ def main():
         q(jax.random.normal(jax.random.PRNGKey(i), (32, 32, 32, 3)))
     fused = fuse_bn_iao(q, cfg)
     eval_mode(fused)
-    gdef_q, state_q = nnx.split(fused)
-    fps_q, _ = throughput(lambda s, xi: nnx.merge(gdef_q, s)(xi), state_q, x)
+    fps_q = _eval_fps(fused, x)
 
-    engine = freeze_int(fused)
+    engine = freeze_int(fused, example_input=x[:1])
     eval_mode(engine)
-    gdef_e, state_e = nnx.split(engine)
-    fps_e, _ = throughput(lambda s, xi: nnx.merge(gdef_e, s)(xi), state_e, x)
+    fps_e = _eval_fps(engine, x)
 
-    best = max(fps_q, fps_e)
+    detail.update(
+        fp32_img_s=round(fps_fp, 1),
+        fake_quant_img_s=round(fps_q, 1),
+        int_engine_img_s=round(fps_e, 1),
+    )
+    return max(fps_q, fps_e), fps_fp
+
+
+def _bench_resnet18(detail):
+    from micronet_tpu.infer import freeze_int, fuse_bn_iao
+    from micronet_tpu.models import resnet18
+    from micronet_tpu.nn import eval_mode, prepare, train_mode
+    from micronet_tpu.quant.config import QuantConfig
+
+    batch = 512
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
+
+    fp_model = resnet18(rngs=nnx.Rngs(0))
+    eval_mode(fp_model)
+    fps_fp = _eval_fps(fp_model, x)
+
+    cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
+    q = prepare(resnet18(rngs=nnx.Rngs(0)), cfg, method="iao")
+    train_mode(q)
+    for i in range(2):
+        q(jax.random.normal(jax.random.PRNGKey(i), (8, 32, 32, 3)))
+    fused = fuse_bn_iao(q, cfg)
+    eval_mode(fused)
+    engine = freeze_int(fused, example_input=x[:1])
+    eval_mode(engine)
+    fps_e = _eval_fps(engine, x)
+
+    detail.update(
+        resnet18_fp32_img_s=round(fps_fp, 1),
+        resnet18_int8_img_s=round(fps_e, 1),
+        resnet18_int8_vs_fp32=round(fps_e / fps_fp, 3),
+    )
+
+
+def _bench_train(detail):
+    import optax
+
+    from micronet_tpu.models import nin_gc
+    from micronet_tpu.nn import prepare, train_mode
+    from micronet_tpu.quant.config import QuantConfig
+
+    from micronet_tpu.utils.timing import train_step_seconds
+
+    batch = 256
+
+    def measure(method, cfg, iters=32):
+        model = nin_gc.Net(rngs=nnx.Rngs(0))
+        if method:
+            model = prepare(model, cfg, method=method, inplace=True)
+        train_mode(model)
+        opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+        gdef, state = nnx.split((model, opt))
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3))
+        y = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, 10)
+
+        def step(st, xi, yi):
+            m, o = nnx.merge(gdef, st)
+
+            def loss_fn(m):
+                return jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(m(xi), yi)
+                )
+
+            loss, grads = nnx.value_and_grad(loss_fn)(m)
+            o.update(m, grads)
+            _, st2 = nnx.split((m, o))
+            return st2, loss
+
+        sec = train_step_seconds(step, state, x, y, iters=iters)
+        return batch / sec
+
+    detail["train_fp32_img_s"] = round(measure(None, None), 1)
+    detail["train_iao_w8a8_img_s"] = round(
+        measure("iao", QuantConfig(a_bits=8, w_bits=8)), 1
+    )
+    detail["train_iao_bnfuse_img_s"] = round(
+        measure("iao", QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)), 1
+    )
+
+
+def _bench_int4(detail):
+    from micronet_tpu.ops.int4_matmul import (
+        int4_matmul,
+        pack_int4,
+        quantize_int4_weight,
+    )
+    from micronet_tpu.utils.timing import per_step_seconds
+
+    m, k, n = 8, 4096, 14336  # Llama-3-8B MLP up-projection
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (m, k), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.02
+    w_q, scale = quantize_int4_weight(w)
+    packed = pack_int4(w_q)
+    wb = w.astype(jnp.bfloat16)
+
+    sec_bf16 = per_step_seconds(
+        lambda s, xi: xi @ s, wb, x, iters=64
+    )
+    sec_int4 = per_step_seconds(
+        lambda s, xi: int4_matmul(xi, s[0], s[1]), (packed, scale.reshape(-1)), x,
+        iters=64,
+    )
+    detail.update(
+        int4_w4a16_us=round(sec_int4 * 1e6, 1),
+        bf16_matmul_us=round(sec_bf16 * 1e6, 1),
+        int4_vs_bf16=round(sec_bf16 / sec_int4, 2),
+    )
+
+
+def main():
+    detail = {}
+    best, fps_fp = _bench_nin_gc(detail)
+    for section in (_bench_resnet18, _bench_train, _bench_int4):
+        try:
+            section(detail)
+        except Exception as e:  # keep the headline metric robust
+            detail[section.__name__ + "_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -60,11 +194,7 @@ def main():
                 "value": round(best, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best / fps_fp, 3),
-                "detail": {
-                    "fp32_img_s": round(fps_fp, 1),
-                    "fake_quant_img_s": round(fps_q, 1),
-                    "int_engine_img_s": round(fps_e, 1),
-                },
+                "detail": detail,
             }
         )
     )

@@ -9,13 +9,10 @@ step. Prints one JSON line per flavor.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import nnx
 
@@ -36,51 +33,25 @@ def build(method, cfg):
 
 
 def measure(method, cfg, iters=64):
+    from micronet_tpu.utils.timing import train_step_seconds
+
     model, opt = build(method, cfg)
     gdef, state = nnx.split((model, opt))
     x0 = jax.random.normal(jax.random.PRNGKey(0), (BATCH, 32, 32, 3))
     y0 = jax.random.randint(jax.random.PRNGKey(1), (BATCH,), 0, 10)
 
-    def make(k):
-        @jax.jit
-        def run(state, x, y, seed):
-            def body(carry, i):
-                st, prev_loss = carry
-                m, o = nnx.merge(gdef, st)
-                xi = x * (1.0 + 1e-12 * prev_loss) + seed.astype(jnp.float32) * 1e-6
+    def step(st, xi, yi):
+        m, o = nnx.merge(gdef, st)
 
-                def loss_fn(m):
-                    return optax.softmax_cross_entropy_with_integer_labels(
-                        m(xi), y
-                    ).mean()
+        def loss_fn(m):
+            return optax.softmax_cross_entropy_with_integer_labels(m(xi), yi).mean()
 
-                loss, grads = nnx.value_and_grad(loss_fn)(m)
-                o.update(m, grads)
-                _, st2 = nnx.split((m, o))
-                return (st2, loss), None
+        loss, grads = nnx.value_and_grad(loss_fn)(m)
+        o.update(m, grads)
+        _, st2 = nnx.split((m, o))
+        return st2, loss
 
-            (st, loss), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(k))
-            return loss
-
-        return run
-
-    ks = (max(2, iters // 4), iters)
-    runners = {k: make(k) for k in ks}
-    for k in ks:
-        np.asarray(runners[k](state, x0, y0, jnp.int32(0)))
-
-    def timed(k, seed):
-        t0 = time.perf_counter()
-        np.asarray(runners[k](state, x0, y0, jnp.int32(seed)))
-        return time.perf_counter() - t0
-
-    slopes = []
-    for t in range(3):
-        ts = timed(ks[0], 100 + t)
-        tl = timed(ks[1], 200 + t)
-        slopes.append((tl - ts) / (ks[1] - ks[0]))
-    slopes.sort()
-    sec = max(slopes[1], 1e-9)
+    sec = train_step_seconds(step, state, x0, y0, iters=iters)
     return BATCH / sec, sec
 
 
@@ -91,7 +62,15 @@ def main():
         ("iao_w8a8", "iao", QuantConfig(a_bits=8, w_bits=8)),
         ("iao_w8a8_bnfuse", "iao", QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)),
         ("wbwtab_bin", "wbwtab", QuantConfig(W=2, A=2)),
+        # attribution flavors: isolate activation-quant vs weight-quant cost
+        ("iao_a8_only", "iao", QuantConfig(a_bits=8, w_bits=32)),
+        ("iao_w8_only", "iao", QuantConfig(a_bits=32, w_bits=8)),
+        # frozen-scale act quant (no observer/qparams update in the loop)
+        ("iao_a8_qaft", "iao", QuantConfig(a_bits=8, w_bits=32, qaft=True)),
     ]
+    only = set(sys.argv[1:])
+    if only:
+        flavors = [f for f in flavors if f[0] in only]
     for name, method, cfg in flavors:
         fps, sec = measure(method, cfg)
         print(

@@ -122,8 +122,20 @@ def fake_quant(
     if symmetric:
         bound = jnp.maximum(jnp.abs(lo), jnp.abs(hi))
         lo, hi = -bound, bound
-    q = clip_ste_round(x / scale - zero_point, lo, hi)
-    q = jnp.clip(q, qmin, qmax)
+    # Pure-HLO STE (no custom_vjp): ``clip(v, lo, hi)`` carries exactly the
+    # clip-STE gradient (1 inside the observer range incl. the boundary, 0
+    # outside — iao/quantize.py:163-168), and the actual quantized value
+    # rides on top under stop_gradient via the bit-exact carrier
+    # ``(base - sg(base)) + sg(q)`` (base - base == 0 exactly; the
+    # ``base + sg(q - base)`` form is off by 1 ulp). Identical fwd+bwd
+    # values to ``clip_ste_round``, but XLA sees one differentiable
+    # elementwise chain it can fuse freely (the custom_vjp call boundary +
+    # bool-mask residual cost ~25% of a QAT train step in HBM traffic —
+    # BENCHMARKS.md).
+    v = x / scale - zero_point
+    base = jnp.clip(v, lo, hi)
+    q_val = jnp.clip(round_half_away(v), qmin, qmax)
+    q = (base - jax.lax.stop_gradient(base)) + jax.lax.stop_gradient(q_val)
     return ((q + zero_point) * scale).astype(dtype)
 
 

@@ -15,7 +15,18 @@ reference (666DZY666/micronet):
 - binary weight sign with plain STE (wbwtab/quantize.py:40-51).
 - ternary threshold op with plain STE (wbwtab/quantize.py:55-75).
 
-All functions are pure and jit/vmap/grad-compatible (``jax.custom_vjp``).
+All functions are pure and jit/vmap/grad-compatible. Plain-STE ops
+(identity backward) are expressed as pure HLO —
+``(x - stop_gradient(x)) + stop_gradient(f(x))`` — rather than
+``jax.custom_vjp``: the gradient is identity and the forward is
+*bit-exact* ``f(x)`` (``x - x == 0`` exactly in floats; the tempting
+``x + sg(f(x) - x)`` form is off by 1 ulp), but without an opaque call
+boundary XLA fuses the quantizer into neighbouring elementwise chains,
+which is worth ~10-25% of a QAT train step in HBM traffic
+(BENCHMARKS.md). ``custom_vjp`` is kept only where the backward mask uses
+strict/non-strict boundary semantics that no primitive's VJP reproduces
+exactly (``clip_ste_round``'s bounds receive masked-identity gradient;
+``binary_act``'s saturate mask is strict).
 """
 
 from __future__ import annotations
@@ -48,21 +59,11 @@ def round_half_away(x: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-@jax.custom_vjp
 def ste_round(x: jax.Array) -> jax.Array:
     """Round-half-away with identity gradient (dorefa/quantize.py:11-21)."""
-    return round_half_away(x)
-
-
-def _ste_round_fwd(x):
-    return round_half_away(x), None
-
-
-def _ste_round_bwd(_, g):
-    return (g,)
-
-
-ste_round.defvjp(_ste_round_fwd, _ste_round_bwd)
+    return (x - jax.lax.stop_gradient(x)) + jax.lax.stop_gradient(
+        round_half_away(x)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -133,21 +134,10 @@ binary_act.defvjp(_binary_act_fwd, _binary_act_bwd)
 # --------------------------------------------------------------------------
 
 
-@jax.custom_vjp
 def binary_weight(x: jax.Array) -> jax.Array:
     """sign(x) with 0 -> +1; plain STE backward (wbwtab/quantize.py:40-51)."""
-    return jnp.where(x >= 0, jnp.ones_like(x), -jnp.ones_like(x))
-
-
-def _binary_weight_fwd(x):
-    return jnp.where(x >= 0, jnp.ones_like(x), -jnp.ones_like(x)), None
-
-
-def _binary_weight_bwd(_, g):
-    return (g,)
-
-
-binary_weight.defvjp(_binary_weight_fwd, _binary_weight_bwd)
+    y = jnp.where(x >= 0, jnp.ones_like(x), -jnp.ones_like(x))
+    return (x - jax.lax.stop_gradient(x)) + jax.lax.stop_gradient(y)
 
 
 # --------------------------------------------------------------------------
@@ -155,22 +145,12 @@ binary_weight.defvjp(_binary_weight_fwd, _binary_weight_bwd)
 # --------------------------------------------------------------------------
 
 
-@jax.custom_vjp
 def ternary(x: jax.Array, threshold: jax.Array) -> jax.Array:
     """Ternarize to {-1, 0, +1} by per-channel threshold.
 
     ``sign(sign(x + thr) + sign(x - thr))`` (wbwtab/quantize.py:62-69);
-    plain-STE backward w.r.t. ``x``, no gradient to ``threshold``.
+    plain-STE backward w.r.t. ``x``, no gradient to ``threshold``
+    (``threshold`` only appears under stop_gradient).
     """
-    return jnp.sign(jnp.sign(x + threshold) + jnp.sign(x - threshold))
-
-
-def _ternary_fwd(x, threshold):
-    return ternary(x, threshold), jnp.shape(threshold)
-
-
-def _ternary_bwd(thr_shape, g):
-    return (g, jnp.zeros(thr_shape, dtype=g.dtype))
-
-
-ternary.defvjp(_ternary_fwd, _ternary_bwd)
+    y = jnp.sign(jnp.sign(x + threshold) + jnp.sign(x - threshold))
+    return (x - jax.lax.stop_gradient(x)) + jax.lax.stop_gradient(y)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["per_step_seconds", "throughput"]
+__all__ = ["per_step_seconds", "throughput", "train_step_seconds"]
 
 
 def _make_runner(step_fn: Callable, k: int):
@@ -92,3 +92,57 @@ def throughput(
     count is ``x.shape[0]``."""
     s = per_step_seconds(step_fn, state, x, iters=iters)
     return x.shape[0] / s, s
+
+
+def train_step_seconds(
+    step_fn: Callable,
+    state,
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    iters: int = 64,
+) -> float:
+    """Per-step seconds of a state-mutating train step.
+
+    ``step_fn(state, x, y) -> (new_state, loss)``. Unlike
+    :func:`per_step_seconds`, the *state* is threaded through the scan
+    carry — so the optimizer update and the backward pass feed the next
+    step and nothing can be dead-code-eliminated (returning only the loss
+    would let XLA drop the whole gradient/update computation). The loss
+    is additionally chained into the next input for the usual
+    anti-hoisting data dependency.
+    """
+
+    def make(k):
+        @jax.jit
+        def run(state, x, y, seed):
+            def body(carry, i):
+                st, prev = carry
+                xi = x * (1.0 + 1e-12 * prev) + seed.astype(jnp.float32) * 1e-6
+                st2, loss = step_fn(st, xi, y)
+                return (st2, jnp.float32(loss)), None
+
+            (_, loss), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), jnp.arange(k)
+            )
+            return loss
+
+        return run
+
+    ks = (max(2, iters // 4), iters)
+    runners = {k: make(k) for k in ks}
+    for k in ks:
+        np.asarray(runners[k](state, x, y, jnp.int32(0)))
+
+    def timed(k, seed):
+        t0 = time.perf_counter()
+        np.asarray(runners[k](state, x, y, jnp.int32(seed)))
+        return time.perf_counter() - t0
+
+    slopes = []
+    for trial in range(3):
+        ts = timed(ks[0], 100 + trial)
+        tl = timed(ks[1], 200 + trial)
+        slopes.append((tl - ts) / (ks[1] - ks[0]))
+    slopes.sort()
+    return max(slopes[1], 1e-9)

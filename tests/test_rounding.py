@@ -78,3 +78,39 @@ def test_ternary_forward_and_ste():
     np.testing.assert_array_equal(np.asarray(y), [-1, -1, 0, 0, 0, 1, 1])
     g = jax.grad(lambda x: jnp.sum(ternary(x, thr)))(x)
     np.testing.assert_array_equal(np.asarray(g), np.ones(7))
+
+
+def test_pure_hlo_ste_forward_is_bit_exact():
+    """The ``(x - sg(x)) + sg(f(x))`` carrier must be BITWISE f(x): x - x
+    is exactly 0.0, so the add returns f(x) unchanged. (The tempting
+    ``x + sg(f(x) - x)`` form is off by 1 ulp, which perturbs training
+    trajectories and re-derived int codes.)"""
+    x = jnp.asarray(np.random.RandomState(0).randn(4096).astype(np.float32) * 3)
+    np.testing.assert_array_equal(
+        np.asarray(ste_round(x)), np.asarray(round_half_away(x))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(binary_weight(x)),
+        np.where(np.asarray(x) >= 0, 1.0, -1.0).astype(np.float32),
+    )
+    thr = jnp.float32(0.7)
+    y = np.sign(np.sign(np.asarray(x) + 0.7) + np.sign(np.asarray(x) - 0.7))
+    np.testing.assert_array_equal(np.asarray(ternary(x, thr)), y.astype(np.float32))
+
+
+def test_fake_quant_bit_exact_vs_custom_vjp_path():
+    """fake_quant's pure-HLO STE output must be bitwise identical to the
+    explicit clip_ste_round + clip composition it replaced."""
+    from micronet_tpu.quant.quantizers import fake_quant
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2048).astype(np.float32) * 5)
+    scale = jnp.float32(0.043)
+    zp = jnp.float32(3.0)
+    lo, hi = jnp.float32(-100.0), jnp.float32(90.0)
+    qmin, qmax = -128.0, 127.0
+    out = fake_quant(
+        x, scale, zp, qmin, qmax, (lo + zp) * scale, (hi + zp) * scale, False
+    )
+    q_ref = jnp.clip(clip_ste_round(x / scale - zp, lo, hi), qmin, qmax)
+    ref = (q_ref + zp) * scale
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
