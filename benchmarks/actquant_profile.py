@@ -13,7 +13,10 @@ the STE backward is included:
 Usage: python benchmarks/actquant_profile.py [batch]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -30,17 +30,43 @@ from . import functional as F
 _ORDER = itertools.count()
 
 
+def _stamp_assignment_order(val) -> None:
+    """Overwrite ``_mn_order`` with a fresh stamp (nnx.List items in list
+    order). Called from ``OrderedModule.__setattr__`` so that attribute
+    ASSIGNMENT order — torch ``named_children`` insertion order, the
+    semantics the reference's tree rewrites assume — governs tree walks
+    even when submodules were *constructed* in a different order."""
+    if isinstance(val, nnx.Module):
+        val._mn_order = next(_ORDER)
+    elif isinstance(val, nnx.List):
+        for item in val:
+            _stamp_assignment_order(item)
+
+
 class OrderedModule(nnx.Module):
-    """nnx.Module that records its construction order.
+    """nnx.Module that records its definition order.
 
     flax graph rebuilds (deepcopy, nnx.clone, and even the split/merge
     inside ``nnx.value_and_grad``/``nnx.jit``) re-insert module attributes
     ALPHABETICALLY, destroying the definition order that Conv->BN pairing,
-    pruning surgery, and engine chain planning depend on. Every module in
-    this framework therefore stamps ``_mn_order`` at construction —
-    a plain static attribute that rides the graphdef through any rebuild —
-    and :func:`micronet_tpu.nn.transform._children` sorts by it.
-    """
+    pruning surgery, and engine chain planning depend on. Modules therefore
+    carry an ``_mn_order`` stamp — a plain static attribute that rides the
+    graphdef through any rebuild (rebuilds restore attributes via
+    ``vars().update``, bypassing ``__setattr__``, so stamps survive
+    untouched) — and :func:`micronet_tpu.nn.transform._children` sorts by
+    it. Stamps are (re)issued on attribute assignment into an
+    OrderedModule parent (``__setattr__`` below), so out-of-order
+    pre-construction (`bn = BN(); conv = Conv(); self.conv = conv;
+    self.bn = bn`) still walks in assignment order; construction-time
+    stamping (``__init_subclass__``) remains as the fallback for children
+    held by plain ``nnx.Module`` parents. Aliasing one module under two
+    names keeps only the later position (same as the stamp being one
+    attribute of the module)."""
+
+    def __setattr__(self, name: str, value) -> None:
+        if not name.startswith("_") and isinstance(value, (nnx.Module, nnx.List)):
+            _stamp_assignment_order(value)
+        super().__setattr__(name, value)
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)

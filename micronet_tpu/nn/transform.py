@@ -87,15 +87,15 @@ def _children(module: nnx.Module) -> Iterator[Tuple[str, nnx.Module, Setter]]:
                 if isinstance(item, nnx.Module):
 
                     def _set(new, _lst=val, _i=i, _old=item):
-                        _transfer_stamp(new, _old)
                         _lst[_i] = new
+                        _transfer_stamp(new, _old)  # after: assignment re-stamps
 
                     yield f"{name}[{i}]", item, _set
         else:
 
             def _set(new, _mod=module, _name=name, _old=val):
-                _transfer_stamp(new, _old)
                 setattr(_mod, _name, new)
+                _transfer_stamp(new, _old)  # after: assignment re-stamps
 
             yield name, val, _set
 
