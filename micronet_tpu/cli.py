@@ -40,6 +40,30 @@ def _parse_cfg(s):
     return [int(v) for v in s.split(",")] if s else None
 
 
+def _ckpt_cfg(path, default=None):
+    """Channel widths stored in a {cfg, state} checkpoint header — lets the
+    export/eval subcommands rebuild PRUNED architectures without the user
+    re-typing --cfg (the reference keeps cfg inside the checkpoint dict,
+    e.g. normal_regular_prune.py:190-200 / iao main.py:346-372)."""
+    import json as _json
+
+    import numpy as _np
+
+    try:
+        with _np.load(path) as z:
+            header = _json.loads(bytes(z["__header__"]).decode())
+        return header.get("extra", {}).get("cfg", default)
+    except Exception:
+        return default
+
+
+def _model_cfg(args):
+    cfg = _parse_cfg(args.cfg)
+    if cfg is None and getattr(args, "model", ""):
+        cfg = _ckpt_cfg(args.model)
+    return cfg
+
+
 def _quant_config(args):
     from .quant.config import QuantConfig
 
@@ -87,29 +111,19 @@ def cmd_train(args) -> int:
     rngs = nnx.Rngs(args.seed)
     model_cfg = _parse_cfg(args.cfg)
 
-    def _ckpt_cfg(path):
-        # read the {cfg, state} checkpoint header (iao/main.py:346-372)
-        import json as _json
-
-        import numpy as _np
-
-        with _np.load(path) as z:
-            header = _json.loads(bytes(z["__header__"]).decode())
-        return header.get("extra", {}).get("cfg", model_cfg)
-
     from .train.checkpoint import load_state as _load
 
     if args.prune_quant:
         # pruned FLOAT checkpoint: rebuild the pruned architecture, load,
         # then quantize below (iao/main.py --prune_quant branch)
-        model_cfg = _ckpt_cfg(args.prune_quant)
+        model_cfg = _ckpt_cfg(args.prune_quant, model_cfg)
         model = _build_model(args.model_type, model_cfg, rngs)
         _load(args.prune_quant, model)
     elif args.prune_qaft:
         # pruned QUANT checkpoint for QAFT: rebuild the pruned arch; the
         # state (incl. quant scale/zp/observers) loads AFTER prepare()
         # (iao/main.py --prune_qaft branch: prune -> quant -> QAFT handoff)
-        model_cfg = _ckpt_cfg(args.prune_qaft)
+        model_cfg = _ckpt_cfg(args.prune_qaft, model_cfg)
         model = _build_model(args.model_type, model_cfg, rngs)
     else:
         model = _build_model(args.model_type, model_cfg, rngs)
@@ -179,7 +193,10 @@ def cmd_train(args) -> int:
             return loss, jnp.mean(jnp.argmax(logits, -1) == labels)
 
         trainer._train_step = sparse_step
-    best = trainer.fit(checkpoint_path=args.save)
+    best = trainer.fit(
+        checkpoint_path=args.save,
+        checkpoint_extra={"cfg": model_cfg} if model_cfg else None,
+    )
     print(f"best acc: {best * 100:.2f}%")
     return 0
 
@@ -227,7 +244,7 @@ def cmd_bn_fuse(args) -> int:
     from .train import load_state, save_state
 
     cfg = _quant_config(args)
-    model = _build_model(args.model_type, _parse_cfg(args.cfg), nnx.Rngs(0))
+    model = _build_model(args.model_type, _model_cfg(args), nnx.Rngs(0))
     q = prepare(model, cfg, method=args.method, inplace=True)
     if args.model:
         load_state(args.model, q)
@@ -261,7 +278,7 @@ def cmd_model_test(args) -> int:
     from .train import load_state
 
     cfg = _quant_config(args)
-    model = _build_model(args.model_type, _parse_cfg(args.cfg), nnx.Rngs(0))
+    model = _build_model(args.model_type, _model_cfg(args), nnx.Rngs(0))
     q = prepare(model, cfg, method=args.method, inplace=True)
     if args.model:
         load_state(args.model, q)
@@ -289,18 +306,23 @@ def cmd_model_test(args) -> int:
 
 
 def cmd_freeze_int(args) -> int:
+    import jax.numpy as jnp
     from flax import nnx
 
     from .infer import freeze_int, fuse_bn_iao
-    from .nn import prepare
+    from .nn import eval_mode, prepare
     from .train import load_state, save_state
 
     cfg = _quant_config(args)
-    model = _build_model(args.model_type, _parse_cfg(args.cfg), nnx.Rngs(0))
+    model = _build_model(args.model_type, _model_cfg(args), nnx.Rngs(0))
     q = prepare(model, cfg, method="iao", inplace=True)
     if args.model:
         load_state(args.model, q)
-    engine = freeze_int(fuse_bn_iao(q, cfg))
+    fused = fuse_bn_iao(q, cfg)
+    eval_mode(fused)
+    # example input activates the dataflow-traced chain planner, so
+    # residual/concat graphs chain end to end (engine.py)
+    engine = freeze_int(fused, example_input=jnp.zeros((1, 32, 32, 3), jnp.float32))
     save_state(args.save, engine)
     print(f"saved int8 engine (weights int8 + scale/zero_point) to {args.save}")
     return 0

@@ -224,6 +224,7 @@ class Trainer:
         epochs: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
         log: Callable[[str], None] = print,
+        checkpoint_extra: Optional[dict] = None,
     ) -> float:
         cfg = self.cfg
         end = epochs if epochs is not None else cfg.epochs
@@ -242,6 +243,7 @@ class Trainer:
                         optimizer=self.optimizer,
                         step=epoch,
                         best_acc=self.best_acc,
+                        extra=checkpoint_extra,
                     )
                     log(f"saved best checkpoint to {checkpoint_path}")
             self.epoch = epoch + 1
