@@ -134,7 +134,9 @@ def conv_transpose2d(
         y = jnp.concatenate(ys, axis=-1)
     if bias is not None:
         y = y + bias.astype(y.dtype)
-    if jnp.issubdtype(preferred_element_type, jnp.integer):
+    if preferred_element_type is not None and jnp.issubdtype(
+        preferred_element_type, jnp.integer
+    ):
         return y  # raw int32 accumulator for the int engine
     return y.astype(x.dtype)
 

@@ -41,6 +41,7 @@ from ..quant.observers import (
 from ..quant.quantizers import (
     asymmetric_qparams,
     fake_quant,
+    fake_quant_codes,
     quant_range,
     symmetric_qparams,
 )
@@ -159,9 +160,7 @@ class FakeQuantizer(OrderedModule):
 
     # -- fake-quant -------------------------------------------------------
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        if self.bits == 32:
-            return x
+    def _check_bits_and_update(self, x: jax.Array) -> None:
         if self.bits == 1:
             raise ValueError(
                 "1-bit is not supported by the IAO path; use wbwtab "
@@ -171,6 +170,11 @@ class FakeQuantizer(OrderedModule):
             if not self.union:
                 self.observe(x)
             self.update_qparams()
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.bits == 32:
+            return x
+        self._check_bits_and_update(x)
         return fake_quant(
             x,
             self.scale.value,
@@ -180,6 +184,27 @@ class FakeQuantizer(OrderedModule):
             self.min_val.value,
             self.max_val.value,
             self.symmetric,
+        )
+
+    def codes(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(codes, scale, zero_point) such that ``self(x) == (c + zp) * s``
+        bitwise — the operand form of the code-storage training lowering
+        (see ``QuantConfig.act_codes``). Runs the same observer/qparam
+        update as ``__call__``."""
+        self._check_bits_and_update(x)
+        return (
+            fake_quant_codes(
+                x,
+                self.scale.value,
+                self.zero_point.value,
+                self.qmin,
+                self.qmax,
+                self.min_val.value,
+                self.max_val.value,
+                self.symmetric,
+            ),
+            jax.lax.stop_gradient(self.scale.value),
+            jax.lax.stop_gradient(self.zero_point.value),
         )
 
 
@@ -223,6 +248,53 @@ def _weight_quantizer(
     )
 
 
+def _act_codes_enabled(cfg: QuantConfig) -> bool:
+    """Resolve ``cfg.act_codes`` (net-new TPU lowering, BENCHMARKS.md):
+    "auto" enables the code-storage conv operands on accelerator backends
+    only — CPU keeps the exact-f32 composition the parity oracles check.
+    Codes must be exact in bfloat16, so the path is limited to ≤ 8 bits."""
+    if cfg.a_bits > 8 or cfg.a_bits in (1, 32):
+        return False
+    if cfg.act_codes == "on":
+        return True
+    if cfg.act_codes == "off":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _codes_dtype():
+    """Narrow operand dtype for the code-storage path: bf16 on accelerators
+    (codes ≤ 255 are exact; f32 accumulation on the MXU), f32 on CPU."""
+    return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+
+def _codes_apply(aq: "FakeQuantizer", x, w, bias, dtype, contract):
+    """Quantized contraction over activation CODES (BENCHMARKS.md,
+    code-storage lowering).
+
+    ``contract(operand, kernel)`` is the raw (bias-free) conv/matmul in the
+    operand dtype. With ``qx = s * (c + zp)``::
+
+        contract(qx, w) = s * (contract(c, w) + zp * contract(ones, w))
+
+    so the fake-quant dequant folds into the epilogue and the conv reads
+    1-2-byte codes instead of 4-byte floats. The zero-point correction term
+    is a batch-1 contraction of ones — it reproduces the position-dependent
+    edge effects of zero padding exactly (same decomposition as the int
+    engine's IntConv2d, infer/engine.py). Gradients: ``codes`` carries
+    ``clip_mask / s`` (fake_quant_codes), so autodiff yields the
+    reference's STE gradients for x and w.
+    """
+    c, s, zp = aq.codes(x)
+    wd = w.astype(dtype)
+    out = contract(c.astype(dtype), wd)
+    if not aq.symmetric:
+        ones = jnp.ones((1,) + tuple(x.shape[1:]), dtype)
+        out = out + zp.reshape(()).astype(out.dtype) * contract(ones, wd)
+    out = out.astype(jnp.float32) * s.reshape(())
+    return out if bias is None else out + bias
+
+
 class QuantConv2d(Conv2d):
     """Conv2d with fake-quantized input + weight (iao/quantize.py:325-507).
 
@@ -256,20 +328,31 @@ class QuantConv2d(Conv2d):
             rngs=rngs,
         )
         self.quant_inference = cfg.quant_inference
+        self.act_codes = _act_codes_enabled(cfg)
         self.activation_quantizer = _act_quantizer(cfg)
         self.weight_quantizer = _weight_quantizer(
             cfg, stat_shape=(1, 1, 1, out_channels), axes=(0, 1, 2)
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        qx = self.activation_quantizer(x)
         w = self.weight.value
         if not self.quant_inference:
             w = self.weight_quantizer(w)
+        bias = None if self.bias is None else self.bias.value
+        if self.act_codes:
+            dt = _codes_dtype()
+            return _codes_apply(
+                self.activation_quantizer, x, w, bias, dt,
+                lambda a, k: F.conv2d(
+                    a, k, None, self.stride, self.padding, self.dilation,
+                    self.groups, preferred_element_type=None,
+                ),
+            )
+        qx = self.activation_quantizer(x)
         return F.conv2d(
             qx,
             w,
-            None if self.bias is None else self.bias.value,
+            bias,
             self.stride,
             self.padding,
             self.dilation,
@@ -309,19 +392,31 @@ class QuantConvTranspose2d(ConvTranspose2d):
             rngs=rngs,
         )
         self.quant_inference = cfg.quant_inference
+        self.act_codes = _act_codes_enabled(cfg)
         self.activation_quantizer = _act_quantizer(cfg)
         layer_cfg = dataclasses.replace(cfg, q_level=1)
         self.weight_quantizer = _weight_quantizer(layer_cfg, (1,), None)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        qx = self.activation_quantizer(x)
         w = self.weight.value
         if not self.quant_inference:
             w = self.weight_quantizer(w)
+        bias = None if self.bias is None else self.bias.value
+        if self.act_codes:
+            dt = _codes_dtype()
+            return _codes_apply(
+                self.activation_quantizer, x, w, bias, dt,
+                lambda a, k: F.conv_transpose2d(
+                    a, k, None, self.stride, self.padding,
+                    self.output_padding, self.dilation, self.groups,
+                    preferred_element_type=None,
+                ),
+            )
+        qx = self.activation_quantizer(x)
         return F.conv_transpose2d(
             qx,
             w,
-            None if self.bias is None else self.bias.value,
+            bias,
             self.stride,
             self.padding,
             self.output_padding,
@@ -396,6 +491,7 @@ class QuantBNFuseConv2d(Conv2d):
         self.running_mean = QuantStat(jnp.zeros((out_channels,), jnp.float32))
         self.running_var = QuantStat(jnp.ones((out_channels,), jnp.float32))
         self.bn_initialized = QuantStat(jnp.zeros((), jnp.bool_))
+        self.act_codes = _act_codes_enabled(cfg)
         self.activation_quantizer = _act_quantizer(cfg)
         self.weight_quantizer = _weight_quantizer(
             cfg, stat_shape=(1, 1, 1, out_channels), axes=(0, 1, 2)
@@ -405,6 +501,20 @@ class QuantBNFuseConv2d(Conv2d):
         return F.conv2d(
             x, w, b, self.stride, self.padding, self.dilation, self.groups
         )
+
+    def _qconv(self, x, qw, b):
+        """The QUANTIZED conv: fake-quant the input and convolve — via the
+        code-storage lowering when enabled (the stats conv stays f32)."""
+        if self.act_codes:
+            dt = _codes_dtype()
+            return _codes_apply(
+                self.activation_quantizer, x, qw, b, dt,
+                lambda a, k: F.conv2d(
+                    a, k, None, self.stride, self.padding, self.dilation,
+                    self.groups, preferred_element_type=None,
+                ),
+            )
+        return self._conv(self.activation_quantizer(x), qw, b)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         w = self.weight.value
@@ -448,15 +558,14 @@ class QuantBNFuseConv2d(Conv2d):
             else:
                 weight_fused = w * (gamma / jnp.sqrt(new_var + self.eps))
 
-            qx = self.activation_quantizer(x)
             qw = (
                 weight_fused
                 if self.quant_inference
                 else self.weight_quantizer(weight_fused)
             )
             if not self.bn_fuse_calib:
-                return self._conv(qx, qw, bias_fused)
-            out = self._conv(qx, qw, None)
+                return self._qconv(x, qw, bias_fused)
+            out = self._qconv(x, qw, None)
             corr = jnp.sqrt(new_var + self.eps) / jnp.sqrt(batch_var + self.eps)
             return out * corr + bias_fused
 
@@ -467,13 +576,12 @@ class QuantBNFuseConv2d(Conv2d):
         else:
             bias_fused = beta - self.running_mean.value * inv_run
         weight_fused = w * inv_run
-        qx = self.activation_quantizer(x)
         qw = (
             weight_fused
             if self.quant_inference
             else self.weight_quantizer(weight_fused)
         )
-        return self._conv(qx, qw, bias_fused)
+        return self._qconv(x, qw, bias_fused)
 
 
 class QuantLinear(Linear):
@@ -491,17 +599,24 @@ class QuantLinear(Linear):
     ):
         super().__init__(in_features, out_features, bias, rngs=rngs)
         self.quant_inference = cfg.quant_inference
+        self.act_codes = _act_codes_enabled(cfg)
         self.activation_quantizer = _act_quantizer(cfg)
         self.weight_quantizer = _weight_quantizer(
             cfg, stat_shape=(1, out_features), axes=(0,)
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        qx = self.activation_quantizer(x)
         w = self.weight.value
         if not self.quant_inference:
             w = self.weight_quantizer(w)
-        return F.linear(qx, w, None if self.bias is None else self.bias.value)
+        bias = None if self.bias is None else self.bias.value
+        if self.act_codes:
+            return _codes_apply(
+                self.activation_quantizer, x, w, bias, _codes_dtype(),
+                lambda a, k: jnp.dot(a, k),
+            )
+        qx = self.activation_quantizer(x)
+        return F.linear(qx, w, bias)
 
 
 class _QuantActBase(OrderedModule):

@@ -34,6 +34,15 @@ class QuantConfig:
     - ``percentile``: Histogram observer percentile.
     - ``quant_inference``: weights are pre-quantized; skip weight fake-quant
       at runtime (iao/quantize.py:500-502).
+    - ``act_codes``: TPU-first training lowering (net-new vs the reference,
+      BENCHMARKS.md): quantized convs/linears consume the small-integer
+      CODES of the activation fake-quant as narrow (bf16) operands and fold
+      the scale/zero-point into the epilogue — halving the dominant HBM
+      traffic of the bandwidth-bound QAT step. ``"auto"`` enables it on
+      accelerator backends and keeps the exact-f32 composition on CPU
+      (where parity oracles run); ``"on"``/``"off"`` force it. Numerics on
+      accelerators stay in the same class as XLA's own default-precision
+      bf16 operand cast.
 
     DoReFa uses ``a_bits``/``w_bits``/``quant_inference`` only.
 
@@ -53,6 +62,7 @@ class QuantConfig:
     ptq: bool = False
     percentile: float = 0.9999
     quant_inference: bool = False
+    act_codes: str = "auto"  # "auto" | "on" | "off"
     # wbwtab
     W: int = 2
     A: int = 2

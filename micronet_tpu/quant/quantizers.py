@@ -38,6 +38,7 @@ __all__ = [
     "symmetric_qparams",
     "asymmetric_qparams",
     "fake_quant",
+    "fake_quant_codes",
 ]
 
 # torch.finfo(torch.float32).eps, the reference's scale floor
@@ -92,6 +93,45 @@ def asymmetric_qparams(
     return scale, zero_point
 
 
+def fake_quant_codes(
+    x: jax.Array,
+    scale: jax.Array,
+    zero_point: jax.Array,
+    qmin: float,
+    qmax: float,
+    obs_min: jax.Array,
+    obs_max: jax.Array,
+    symmetric: bool,
+) -> jax.Array:
+    """The integer CODES under :func:`fake_quant`, with STE gradient.
+
+    Returns ``q = clamp(round(x/s - zp), qmin, qmax)`` as an f32 carrier
+    whose values are exact small integers, such that
+    ``fake_quant(x, ...) == (q + zp) * s`` bitwise. The gradient w.r.t.
+    ``x`` is ``clip_mask / s`` — exactly ``d fake_quant/dx / s`` — so a
+    consumer computing ``s * conv(q, w)`` reproduces the reference's
+    forward AND backward while moving only 1-2-byte code operands through
+    HBM instead of 4-byte dequantized floats (the code-storage training
+    lowering, BENCHMARKS.md). Pure HLO: ``clip(v, lo, hi)`` carries the
+    clip-STE gradient (1 inside the observer range incl. boundary, 0
+    outside — iao/quantize.py:163-168) and the rounded code rides on top
+    under stop_gradient via the bit-exact ``(base - sg(base)) + sg(q)``
+    carrier (base - base == 0 exactly).
+    """
+    x = x.astype(jnp.float32)
+    scale = jax.lax.stop_gradient(scale)
+    zero_point = jax.lax.stop_gradient(zero_point)
+    lo = jax.lax.stop_gradient(obs_min / scale - zero_point)
+    hi = jax.lax.stop_gradient(obs_max / scale - zero_point)
+    if symmetric:
+        bound = jnp.maximum(jnp.abs(lo), jnp.abs(hi))
+        lo, hi = -bound, bound
+    v = x / scale - zero_point
+    base = jnp.clip(v, lo, hi)
+    q_val = jnp.clip(round_half_away(v), qmin, qmax)
+    return (base - jax.lax.stop_gradient(base)) + jax.lax.stop_gradient(q_val)
+
+
 def fake_quant(
     x: jax.Array,
     scale: jax.Array,
@@ -110,32 +150,17 @@ def fake_quant(
     (Round.apply receives ``obs_min/s - zp`` / ``obs_max/s - zp``; for the
     symmetric case the bound becomes ``±max(|lo|, |hi|)``,
     iao/quantize.py:147-156). scale/zero_point/bounds carry no gradient
-    (buffers in the reference); ``jnp.clip`` reproduces torch.clamp's
-    gradient masking outside [qmin, qmax].
+    (buffers in the reference); the clip carries torch.clamp's gradient
+    masking — see :func:`fake_quant_codes` for the STE carrier details
+    (identical fwd+bwd values to the old ``clip_ste_round`` composition,
+    but one fusable elementwise chain instead of an opaque custom_vjp).
     """
     dtype = x.dtype
-    x = x.astype(jnp.float32)
     scale = jax.lax.stop_gradient(scale)
     zero_point = jax.lax.stop_gradient(zero_point)
-    lo = jax.lax.stop_gradient(obs_min / scale - zero_point)
-    hi = jax.lax.stop_gradient(obs_max / scale - zero_point)
-    if symmetric:
-        bound = jnp.maximum(jnp.abs(lo), jnp.abs(hi))
-        lo, hi = -bound, bound
-    # Pure-HLO STE (no custom_vjp): ``clip(v, lo, hi)`` carries exactly the
-    # clip-STE gradient (1 inside the observer range incl. the boundary, 0
-    # outside — iao/quantize.py:163-168), and the actual quantized value
-    # rides on top under stop_gradient via the bit-exact carrier
-    # ``(base - sg(base)) + sg(q)`` (base - base == 0 exactly; the
-    # ``base + sg(q - base)`` form is off by 1 ulp). Identical fwd+bwd
-    # values to ``clip_ste_round``, but XLA sees one differentiable
-    # elementwise chain it can fuse freely (the custom_vjp call boundary +
-    # bool-mask residual cost ~25% of a QAT train step in HBM traffic —
-    # BENCHMARKS.md).
-    v = x / scale - zero_point
-    base = jnp.clip(v, lo, hi)
-    q_val = jnp.clip(round_half_away(v), qmin, qmax)
-    q = (base - jax.lax.stop_gradient(base)) + jax.lax.stop_gradient(q_val)
+    q = fake_quant_codes(
+        x, scale, zero_point, qmin, qmax, obs_min, obs_max, symmetric
+    )
     return ((q + zero_point) * scale).astype(dtype)
 
 
