@@ -268,6 +268,17 @@ def _codes_dtype():
     return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
 
+def _bf16_stats_enabled(cfg: QuantConfig) -> bool:
+    """Resolve ``cfg.bn_stats`` (net-new TPU lowering, BENCHMARKS.md):
+    "auto" runs the batch-statistics conv in bf16 on accelerator backends
+    only — CPU keeps the exact-f32 path the parity oracles check."""
+    if cfg.bn_stats == "on":
+        return True
+    if cfg.bn_stats == "off":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def _codes_apply(aq: "FakeQuantizer", x, w, bias, dtype, contract):
     """Quantized contraction over activation CODES (BENCHMARKS.md,
     code-storage lowering).
@@ -492,6 +503,7 @@ class QuantBNFuseConv2d(Conv2d):
         self.running_var = QuantStat(jnp.ones((out_channels,), jnp.float32))
         self.bn_initialized = QuantStat(jnp.zeros((), jnp.bool_))
         self.act_codes = _act_codes_enabled(cfg)
+        self.bf16_stats = _bf16_stats_enabled(cfg)
         self.activation_quantizer = _act_quantizer(cfg)
         self.weight_quantizer = _weight_quantizer(
             cfg, stat_shape=(1, 1, 1, out_channels), axes=(0, 1, 2)
@@ -504,7 +516,8 @@ class QuantBNFuseConv2d(Conv2d):
 
     def _qconv(self, x, qw, b):
         """The QUANTIZED conv: fake-quant the input and convolve — via the
-        code-storage lowering when enabled (the stats conv stays f32)."""
+        code-storage lowering when enabled (the stats conv is handled
+        separately: f32, or bf16 under the ``bn_stats`` lowering)."""
         if self.act_codes:
             dt = _codes_dtype()
             return _codes_apply(
@@ -526,10 +539,33 @@ class QuantBNFuseConv2d(Conv2d):
             # float conv for batch statistics (hot loop: the double conv,
             # SURVEY.md §3.1); batch stats keep gradient — the reference's
             # batch_mean/var are differentiable conv outputs
-            out_f = self._conv(x, w, b).astype(jnp.float32)
-            batch_mean = jnp.mean(out_f, axis=(0, 1, 2))
+            if self.bf16_stats:
+                # bf16-stats lowering (BENCHMARKS.md): the stats conv output
+                # is consumed only by the reductions below, so materialize
+                # it in bf16 (f32 accumulation in the reductions; the bias
+                # folds into the mean analytically — var is bias-invariant).
+                # preferred_element_type=None keeps output==operand dtype so
+                # the conv VJP is well-typed (same as _codes_apply).
+                out_f = F.conv2d(
+                    x.astype(jnp.bfloat16),
+                    w.astype(jnp.bfloat16),
+                    None,
+                    self.stride,
+                    self.padding,
+                    self.dilation,
+                    self.groups,
+                    preferred_element_type=None,
+                )
+                batch_mean = jnp.mean(out_f, axis=(0, 1, 2), dtype=jnp.float32)
+                if b is not None:
+                    batch_mean = batch_mean + b
+            else:
+                out_f = self._conv(x, w, b).astype(jnp.float32)
+                batch_mean = jnp.mean(out_f, axis=(0, 1, 2))
             n = out_f.shape[0] * out_f.shape[1] * out_f.shape[2]
-            batch_var = jnp.var(out_f, axis=(0, 1, 2)) * (n / max(n - 1, 1))
+            batch_var = jnp.var(out_f, axis=(0, 1, 2), dtype=jnp.float32) * (
+                n / max(n - 1, 1)
+            )
             # running-stat update under stop_gradient (reference: no_grad,
             # iao/quantize.py:856-879); first batch overwrites unless
             # pretrained

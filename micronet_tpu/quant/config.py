@@ -43,6 +43,13 @@ class QuantConfig:
       (where parity oracles run); ``"on"``/``"off"`` force it. Numerics on
       accelerators stay in the same class as XLA's own default-precision
       bf16 operand cast.
+    - ``bn_stats``: companion lowering for ``bn_fuse`` training
+      (BENCHMARKS.md): the batch-statistics conv — whose output is consumed
+      ONLY by per-channel mean/var reductions — runs with bf16 operands and
+      a bf16 materialization (reductions still accumulate in f32, like
+      torch AMP batch-norm), halving the stats-conv HBM traffic that
+      dominates the bn_fuse step's residual tax. Same "auto"/"on"/"off"
+      semantics as ``act_codes``.
 
     DoReFa uses ``a_bits``/``w_bits``/``quant_inference`` only.
 
@@ -63,6 +70,7 @@ class QuantConfig:
     percentile: float = 0.9999
     quant_inference: bool = False
     act_codes: str = "auto"  # "auto" | "on" | "off"
+    bn_stats: str = "auto"  # "auto" | "on" | "off" (bf16 stats conv)
     # wbwtab
     W: int = 2
     A: int = 2
