@@ -32,9 +32,11 @@ from flax import nnx
 
 from ..quant.config import QuantConfig
 from ..quant.observers import (
+    EntropyState,
     HistogramState,
     MinMaxState,
     ema_minmax_update,
+    entropy_update,
     histogram_update,
     minmax_update,
 )
@@ -95,11 +97,12 @@ class FakeQuantizer(OrderedModule):
         is_weight: bool = False,
         stat_shape: Tuple[int, ...] = (1,),
         axes: Optional[Tuple[int, ...]] = None,
-        observer: str = "ema",  # "minmax" | "ema" | "histogram"
+        observer: str = "ema",  # "minmax" | "ema" | "histogram" | "entropy"
         momentum: float = 0.1,
         percentile: float = 0.9999,
         qaft: bool = False,
         union: bool = False,
+        entropy_bins: int = 2048,
     ):
         self.bits = bits
         self.symmetric = symmetric
@@ -121,12 +124,28 @@ class FakeQuantizer(OrderedModule):
         self.initialized = QuantStat(jnp.zeros((), jnp.bool_))
         self.scale = QuantStat(jnp.ones(shape, jnp.float32))
         self.zero_point = QuantStat(jnp.zeros(shape, jnp.float32))
+        if observer == "entropy" and not union:
+            # |x| histogram for TRT-style KL calibration (per-tensor;
+            # quant/calibrate.py resolves it into max_val at build time).
+            # union quantizers never observe — their min/max is assigned
+            # from the side observers, so they carry no histogram.
+            self.ent_counts = QuantStat(jnp.zeros((entropy_bins,), jnp.float32))
+            self.ent_absmax = QuantStat(jnp.zeros((), jnp.float32))
 
     # -- observer ---------------------------------------------------------
 
     def observe(self, x: jax.Array) -> None:
         """Update min/max statistics from a batch (reference observer
         forward, iao/quantize.py:39-139)."""
+        if self.observer == "entropy":
+            est = EntropyState(
+                self.ent_counts.value, self.ent_absmax.value, self.initialized.value
+            )
+            est = entropy_update(est, x)
+            self.ent_counts.value = est.counts
+            self.ent_absmax.value = est.absmax
+            self.initialized.value = est.initialized
+            return
         if self.observer == "histogram":
             state = HistogramState(
                 self.min_val.value, self.max_val.value, self.initialized.value
@@ -169,12 +188,23 @@ class FakeQuantizer(OrderedModule):
         if self.training and not self.qaft:
             if not self.union:
                 self.observe(x)
-            self.update_qparams()
+            if self.observer != "entropy":
+                # entropy calibration defers qparams to the one-time KL
+                # search (quant/calibrate.py) — min/max hold no meaning
+                # while the histogram streams
+                self.update_qparams()
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.bits == 32:
             return x
         self._check_bits_and_update(x)
+        if self.observer == "entropy" and self.training and not self.qaft:
+            # entropy calibration streams the FLOAT network (TRT collects
+            # histograms over unquantized activations; quantization only
+            # exists after the build-time KL search) — scales are garbage
+            # until quant/calibrate.py resolves them, so fake-quanting here
+            # would corrupt every downstream observer
+            return x
         return fake_quant(
             x,
             self.scale.value,
@@ -216,7 +246,7 @@ def _act_quantizer(cfg: QuantConfig) -> FakeQuantizer:
             cfg.a_bits,
             symmetric=True,
             is_weight=False,
-            observer="histogram",
+            observer="entropy" if cfg.ptq_observer == "kl" else "histogram",
             percentile=cfg.percentile,
             qaft=cfg.qaft,
         )
@@ -252,8 +282,10 @@ def _act_codes_enabled(cfg: QuantConfig) -> bool:
     """Resolve ``cfg.act_codes`` (net-new TPU lowering, BENCHMARKS.md):
     "auto" enables the code-storage conv operands on accelerator backends
     only — CPU keeps the exact-f32 composition the parity oracles check.
-    Codes must be exact in bfloat16, so the path is limited to ≤ 8 bits."""
-    if cfg.a_bits > 8 or cfg.a_bits in (1, 32):
+    Codes must be exact in bfloat16, so the path is limited to ≤ 8 bits.
+    PTQ never uses it: calibration is a short forward-only stream, and KL
+    calibration requires the float activations to pass through untouched."""
+    if cfg.a_bits > 8 or cfg.a_bits in (1, 32) or cfg.ptq:
         return False
     if cfg.act_codes == "on":
         return True
@@ -739,7 +771,10 @@ class QuantConcat(OrderedModule):
     int-sim concat is a pure memory op (no per-branch rescale)."""
 
     def __init__(self, axis: int = -1, *, cfg: QuantConfig):
-        observer = "histogram" if cfg.ptq else "ema"
+        if cfg.ptq:
+            observer = "entropy" if cfg.ptq_observer == "kl" else "histogram"
+        else:
+            observer = "ema"
         kw = dict(observer=observer, percentile=cfg.percentile)
         self.axis = axis
         self.qaft = cfg.qaft
@@ -787,7 +822,10 @@ class QuantAdd(OrderedModule):
     """
 
     def __init__(self, *, cfg: QuantConfig):
-        observer = "histogram" if cfg.ptq else "ema"
+        if cfg.ptq:
+            observer = "entropy" if cfg.ptq_observer == "kl" else "histogram"
+        else:
+            observer = "ema"
         kw = dict(observer=observer, percentile=cfg.percentile)
         self.qaft = cfg.qaft
         self.training = True

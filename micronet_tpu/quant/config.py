@@ -32,6 +32,12 @@ class QuantConfig:
     - ``ptq``: post-training calibration — activation observers become
       percentile Histogram observers, quantizers forced symmetric.
     - ``percentile``: Histogram observer percentile.
+    - ``ptq_observer``: activation calibrator under ``ptq=True``:
+      ``"percentile"`` is the reference's HistogramObserver
+      (iao/quantize.py:116-139); ``"kl"`` is TensorRT-style entropy
+      calibration (deploy/tensorrt/calibrator.py) — stream an |x| histogram,
+      then a one-time KL threshold search at build time
+      (:mod:`micronet_tpu.quant.calibrate`).
     - ``quant_inference``: weights are pre-quantized; skip weight fake-quant
       at runtime (iao/quantize.py:500-502).
     - ``act_codes``: TPU-first training lowering (net-new vs the reference,
@@ -68,6 +74,7 @@ class QuantConfig:
     qaft: bool = False
     ptq: bool = False
     percentile: float = 0.9999
+    ptq_observer: str = "percentile"  # "percentile" | "kl"
     quant_inference: bool = False
     act_codes: str = "auto"  # "auto" | "on" | "off"
     bn_stats: str = "auto"  # "auto" | "on" | "off" (bf16 stats conv)

@@ -45,6 +45,9 @@ __all__ = [
     "HistogramState",
     "init_histogram_state",
     "histogram_update",
+    "EntropyState",
+    "init_entropy_state",
+    "entropy_update",
     "reduce_min_max",
 ]
 
@@ -211,5 +214,108 @@ def histogram_update(
     return HistogramState(
         min_val=state.min_val,
         max_val=new_max,
+        initialized=jnp.ones((), jnp.bool_),
+    )
+
+
+# --------------------------------------------------------------------------
+# Entropy (KL-divergence) calibrator — the TensorRT int8 calibration leg
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class EntropyState:
+    """|x| histogram accumulated over calibration batches.
+
+    TPU-native stand-in for the reference's TensorRT
+    ``IInt8EntropyCalibrator2`` stream (deploy/tensorrt/calibrator.py:20-58):
+    TRT pulls batches through the network collecting per-tensor activation
+    histograms, then picks the clip threshold minimizing the KL divergence
+    between the float distribution and its int8 quantization. Here the
+    histogram is a jit-carried state pytree (streamed on device); the
+    one-time KL search runs host-side at engine-build time
+    (:func:`micronet_tpu.quant.calibrate.kl_threshold`), exactly like TRT's
+    build-time calibration pass.
+
+    ``counts[i]`` holds the mass of ``|x|`` in ``[i*w, (i+1)*w)`` with
+    ``w = absmax / bins``. Per-tensor only (TRT entropy calibration is
+    per-tensor symmetric).
+    """
+
+    counts: jax.Array  # (bins,) float32
+    absmax: jax.Array  # scalar float32
+    initialized: jax.Array  # scalar bool
+
+
+def init_entropy_state(bins: int = 2048) -> EntropyState:
+    return EntropyState(
+        counts=jnp.zeros((bins,), jnp.float32),
+        absmax=jnp.zeros((), jnp.float32),
+        initialized=jnp.zeros((), jnp.bool_),
+    )
+
+
+def _hist_absx(x: jax.Array, absmax: jax.Array, bins: int) -> jax.Array:
+    """Histogram of ``|x|`` over ``[0, absmax]`` with ``bins`` equal bins
+    (values at exactly ``absmax`` land in the last bin)."""
+    a = jnp.abs(jnp.ravel(x)).astype(jnp.float32)
+    w = jnp.maximum(absmax, jnp.finfo(jnp.float32).tiny) / bins
+    idx = jnp.clip(jnp.floor(a / w).astype(jnp.int32), 0, bins - 1)
+    return jnp.zeros((bins,), jnp.float32).at[idx].add(1.0)
+
+
+def _rescale_counts(counts: jax.Array, ratio: jax.Array) -> jax.Array:
+    """Redistribute a histogram over ``[0, m_old]`` onto the same number of
+    bins over ``[0, m_new]`` with ``ratio = m_old / m_new <= 1``.
+
+    Old bin ``i`` spans ``[i*ratio, (i+1)*ratio)`` in new-bin units — at
+    most two adjacent new bins — so its count splits linearly between them
+    (the merge-with-rescale PyTorch's HistogramObserver uses; keeps the
+    streaming single-pass and jit-traceable with a static bin count).
+    """
+    bins = counts.shape[0]
+    i = jnp.arange(bins, dtype=jnp.float32)
+    lo = i * ratio
+    hi = (i + 1.0) * ratio
+    lo_bin = jnp.clip(jnp.floor(lo).astype(jnp.int32), 0, bins - 1)
+    hi_bin = jnp.clip(jnp.floor(hi - 1e-12).astype(jnp.int32), 0, bins - 1)
+    span = jnp.maximum(hi - lo, 1e-12)
+    frac_lo = jnp.clip((jnp.minimum(hi, lo_bin + 1.0) - lo) / span, 0.0, 1.0)
+    frac_lo = jnp.where(hi_bin == lo_bin, 1.0, frac_lo)
+    out = jnp.zeros((bins,), jnp.float32)
+    out = out.at[lo_bin].add(counts * frac_lo)
+    out = out.at[hi_bin].add(counts * (1.0 - frac_lo))
+    return out
+
+
+def entropy_update(
+    state: EntropyState,
+    x: jax.Array,
+    axis_name: Optional[str] = None,
+) -> EntropyState:
+    """Accumulate one calibration batch into the |x| histogram.
+
+    When the batch extends the observed range, the stored histogram is
+    rescaled onto the wider grid before merging. Under ``shard_map``,
+    ``axis_name`` makes the range global (pmax) and sums the per-replica
+    batch histograms (psum) — replicas carry identical accumulated state, so
+    only the batch contribution is reduced.
+    """
+    x = jax.lax.stop_gradient(x)
+    bins = state.counts.shape[0]
+    cur_max = jnp.max(jnp.abs(x)).astype(jnp.float32)
+    if axis_name is not None:
+        cur_max = jax.lax.pmax(cur_max, axis_name)
+    new_max = jnp.maximum(state.absmax, cur_max)
+    ratio = jnp.where(new_max > 0, state.absmax / jnp.maximum(new_max, 1e-30), 1.0)
+    old = jnp.where(
+        ratio >= 1.0 - 1e-12, state.counts, _rescale_counts(state.counts, ratio)
+    )
+    batch = _hist_absx(x, new_max, bins)
+    if axis_name is not None:
+        batch = jax.lax.psum(batch, axis_name)
+    return EntropyState(
+        counts=old + batch,
+        absmax=new_max,
         initialized=jnp.ones((), jnp.bool_),
     )

@@ -57,6 +57,9 @@ class TrainConfig:
     # reference caps a PTQ run at 2 epochs only when --ptq_control is set
     # (iao/main.py:511-513); without it the epoch budget is the caller's
     ptq_control: bool = False
+    # calibration-cache file for KL-entropy PTQ (TRT read/write cache,
+    # deploy/tensorrt/calibrator.py:43-57); None = compute fresh, no file
+    calib_cache: Optional[str] = None
     log_every: int = 100
     # rematerialization: recompute activations in the backward pass
     # instead of storing them (jax.checkpoint) — trades ~30% step time for
@@ -198,7 +201,25 @@ class Trainer:
         dt = time.time() - t0
         n_img = len(losses) * cfg.batch_size
         log(f"epoch {epoch} done in {dt:.1f}s ({n_img / max(dt, 1e-9):.1f} img/s)")
+        if cfg.ptq:
+            self._maybe_finalize_entropy(log)
         return float(np.mean(losses)) if losses else float("nan")
+
+    def _maybe_finalize_entropy(self, log: Callable[[str], None]) -> None:
+        """KL-entropy PTQ: resolve thresholds after each calibration epoch
+        (TRT does this once at engine build; re-running over the grown
+        histogram is the streaming equivalent). No-op for percentile PTQ."""
+        from ..nn.qat_iao import FakeQuantizer
+        from ..quant.calibrate import finalize_entropy_calibration
+
+        if any(
+            isinstance(m, FakeQuantizer) and m.observer == "entropy"
+            for _, m in nnx.iter_modules(self.model)
+        ):
+            table = finalize_entropy_calibration(
+                self.model, cache=self.cfg.calib_cache
+            )
+            log(f"entropy calibration resolved {len(table)} thresholds")
 
     def evaluate(self) -> Tuple[float, float]:
         eval_mode(self.model)

@@ -1,0 +1,251 @@
+"""Entropy (KL) calibration — the TensorRT IInt8EntropyCalibrator2 leg.
+
+Covers: the streaming |x| histogram reducer (merge-with-rescale), the
+host-side KL threshold search, PTQ end-to-end with ``ptq_observer="kl"``,
+union-scale resolution for QuantAdd graphs, and the calibration cache
+read/write roundtrip (reference deploy/tensorrt/calibrator.py:20-58).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from micronet_tpu.models import resnet
+from micronet_tpu.nn import eval_mode, prepare, qat_iao, train_mode
+from micronet_tpu.quant.calibrate import (
+    finalize_entropy_calibration,
+    kl_threshold,
+    load_calibration_cache,
+)
+from micronet_tpu.quant.config import QuantConfig
+from micronet_tpu.quant.observers import entropy_update, init_entropy_state
+
+
+def test_entropy_histogram_fixed_range_exact():
+    """Batches sharing one range accumulate an exact histogram."""
+    st = init_entropy_state(bins=64)
+    key = jax.random.PRNGKey(0)
+    chunks = []
+    for i in range(3):
+        x = jax.random.uniform(jax.random.fold_in(key, i), (1000,), minval=-2, maxval=2)
+        # pin the range so no rescale happens after the first batch
+        x = x.at[0].set(2.0)
+        st = entropy_update(st, x)
+        chunks.append(np.asarray(x))
+    ref, _ = np.histogram(np.abs(np.concatenate(chunks)), bins=64, range=(0, 2.0))
+    got = np.asarray(st.counts)
+    assert float(st.absmax) == 2.0
+    # values exactly at the top edge land in the last bin both here and in
+    # np.histogram; everything else must agree exactly
+    np.testing.assert_array_equal(got, ref.astype(np.float32))
+    assert got.sum() == 3000
+
+
+def test_entropy_histogram_rescale_merge():
+    """A later batch widening the range redistributes earlier counts with
+    conserved mass and approximately correct shape."""
+    st = init_entropy_state(bins=128)
+    x1 = jnp.linspace(0.0, 1.0, 1000)
+    st = entropy_update(st, x1)
+    x2 = jnp.linspace(0.0, 4.0, 1000)
+    st = entropy_update(st, x2)
+    assert float(st.absmax) == 4.0
+    counts = np.asarray(st.counts)
+    assert counts.sum() == 2000  # mass conserved through the rescale
+    # the first batch's mass all lies below 1.0 => first quarter of bins
+    # holds ~1000 (old) + ~250 (new uniform over [0,4]) = ~1250
+    first_quarter = counts[:32].sum()
+    np.testing.assert_allclose(first_quarter, 1250, atol=10)
+
+
+def test_kl_threshold_uniform_keeps_range():
+    """Uniform |x| has no outliers — threshold stays near absmax."""
+    counts = np.full(2048, 100.0)
+    thr = kl_threshold(counts, absmax=8.0)
+    assert thr > 0.9 * 8.0
+
+
+def test_kl_threshold_clips_outliers():
+    """A tight gaussian bulk plus a far outlier: entropy calibration clips
+    the outlier (the whole point vs plain minmax)."""
+    rng = np.random.default_rng(0)
+    bulk = np.abs(rng.normal(0, 1, 100_000))
+    absmax = 50.0
+    counts, _ = np.histogram(bulk, bins=2048, range=(0, absmax))
+    counts[-1] += 3  # a few values near 50
+    thr = kl_threshold(counts.astype(np.float64), absmax=absmax)
+    assert thr < 10.0  # bulk is within ~5 sigma; 50 is clipped away
+
+
+def _stream_ptq(model, n_batches=8, shape=(16, 32, 32, 3), offset=50):
+    train_mode(model)
+    for i in range(n_batches):
+        x = jax.random.normal(jax.random.PRNGKey(offset + i), shape)
+        model(x)
+
+
+def _bn_converged_resnet():
+    """A float ResNet18 whose BN running stats have converged on the input
+    distribution — the PTQ contract assumes a TRAINED float model, so the
+    baseline must not drift when calibration streams more batches through
+    the (stat-updating) BN layers."""
+    fm = resnet.resnet18(rngs=nnx.Rngs(0))
+    train_mode(fm)
+    for i in range(30):
+        fm(jax.random.normal(jax.random.PRNGKey(i), (16, 32, 32, 3)))
+    return fm
+
+
+def test_ptq_kl_end_to_end_resnet(tmp_path):
+    """KL PTQ on ResNet18 (QuantAdd graphs): stream -> finalize -> eval.
+
+    The calibrated model's logits must track the float model within the
+    W8A8 PTQ error class (measured: cos 0.98, rel-L2 0.31, argmax 100%),
+    and every quantizer must end with a positive resolved scale — including
+    the QuantAdd union quantizers.
+    """
+    cfg = QuantConfig(a_bits=8, w_bits=8, ptq=True, ptq_observer="kl")
+    fm = _bn_converged_resnet()
+    eval_mode(fm)
+    x_eval = jax.random.normal(jax.random.PRNGKey(99), (8, 32, 32, 3))
+    y_float = np.asarray(fm(x_eval))
+
+    q = prepare(fm, cfg, method="iao")
+    _stream_ptq(q)
+    cache = str(tmp_path / "calib.json")
+    table = finalize_entropy_calibration(q, cache=cache)
+    assert len(table) > 0
+    assert all(v > 0 for v in table.values())
+    eval_mode(q)
+    y_q = np.asarray(q(x_eval))
+    cos = float(
+        np.sum(y_q * y_float) / (np.linalg.norm(y_q) * np.linalg.norm(y_float))
+    )
+    assert cos > 0.9, cos
+    np.testing.assert_array_equal(y_q.argmax(-1), y_float.argmax(-1))
+
+    # every non-union quantizer that observed data resolved a scale > eps
+    for _, m in nnx.iter_modules(q):
+        if isinstance(m, qat_iao.FakeQuantizer) and m.observer == "entropy":
+            assert float(jnp.min(m.scale.value)) > 0
+        if isinstance(m, qat_iao.QuantAdd):
+            uq = m.activation_quantizer
+            assert float(uq.max_val.value.max()) > 0  # union resolved
+            assert float(uq.scale.value.max()) > 1e-7
+
+    # cache roundtrip: a FRESH model calibrated from the cache alone (no
+    # streamed stats) reproduces identical scales — TRT's read_calibration_cache
+    q2 = prepare(resnet.resnet18(rngs=nnx.Rngs(0)), cfg, method="iao")
+    table2 = finalize_entropy_calibration(q2, cache=cache)
+    assert table2 == load_calibration_cache(cache) == table
+    for (_, a), (_, b) in zip(nnx.iter_modules(q), nnx.iter_modules(q2)):
+        if isinstance(a, qat_iao.FakeQuantizer) and a.observer == "entropy":
+            np.testing.assert_array_equal(
+                np.asarray(a.max_val.value), np.asarray(b.max_val.value)
+            )
+
+
+def test_kl_beats_minmax_on_heavy_tails():
+    """The promise of entropy calibration: on heavy-tailed activations the
+    KL-chosen clip yields a quantized distribution closer (in KL) to the
+    float one than clipping at absmax does."""
+    rng = np.random.default_rng(3)
+    data = np.abs(rng.laplace(0, 1, 200_000))
+    absmax = float(data.max())
+    counts, _ = np.histogram(data, bins=2048, range=(0, absmax))
+    thr = kl_threshold(counts.astype(np.float64), absmax)
+    assert 0 < thr < absmax
+
+    def quant_kl(threshold):
+        s = threshold / 127.0
+        q = np.clip(np.round(data / s), 0, 127) * s
+        # KL between histograms of float vs quantized values
+        p, edges = np.histogram(data, bins=256, range=(0, absmax), density=False)
+        r, _ = np.histogram(q, bins=256, range=(0, absmax), density=False)
+        p = (p + 1e-6) / (p + 1e-6).sum()
+        r = (r + 1e-6) / (r + 1e-6).sum()
+        return float(np.sum(p * np.log(p / r)))
+
+    assert quant_kl(thr) < quant_kl(absmax)
+
+
+def test_ptq_kl_vs_percentile_same_ballpark():
+    """KL and percentile calibration land in the same scale regime on
+    well-behaved activations (both approximate the distribution's range)."""
+    base = dict(a_bits=8, w_bits=8, ptq=True)
+    fm = _bn_converged_resnet()
+    q_kl = prepare(fm, QuantConfig(ptq_observer="kl", **base), method="iao")
+    q_pct = prepare(fm, QuantConfig(ptq_observer="percentile", **base), method="iao")
+    _stream_ptq(q_kl)
+    _stream_ptq(q_pct)
+    finalize_entropy_calibration(q_kl)
+    kl_scales = {
+        "/".join(map(str, p)): float(m.scale.value.max())
+        for p, m in nnx.iter_modules(q_kl)
+        if isinstance(m, qat_iao.FakeQuantizer) and m.observer == "entropy"
+    }
+    pct_scales = {
+        "/".join(map(str, p)): float(m.scale.value.max())
+        for p, m in nnx.iter_modules(q_pct)
+        if isinstance(m, qat_iao.FakeQuantizer) and m.observer == "histogram"
+    }
+    assert set(kl_scales) == set(pct_scales)
+    for k in kl_scales:
+        if "/add/" in f"/{k}/":  # add-side observers see heavy-tailed
+            continue  # residual sums where deep clipping is correct
+        ratio = kl_scales[k] / pct_scales[k]
+        assert 0.1 < ratio < 5.0, (k, ratio)
+
+
+def test_trainer_ptq_kl_finalizes(tmp_path):
+    """The Trainer's PTQ epoch resolves entropy thresholds at epoch end
+    (the reference's forward-only PTQ loop + TRT's build-time calibration),
+    writing the calibration cache when configured."""
+    from micronet_tpu.models import nin
+    from micronet_tpu.train import TrainConfig, Trainer, data
+
+    ds = data.load_cifar10(synthetic_size=128)
+    cfg = QuantConfig(a_bits=8, w_bits=8, ptq=True, ptq_observer="kl")
+    q = prepare(nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0)), cfg, method="iao")
+    train_mode(q)
+    cache = str(tmp_path / "trainer_calib.json")
+    tr = Trainer(
+        q,
+        TrainConfig(
+            batch_size=32, epochs=1, ptq=True, ptq_batch=3, calib_cache=cache
+        ),
+        ds,
+    )
+    tr.train_epoch(0, log=lambda s: None)
+    import os
+
+    assert os.path.exists(cache)
+    table = load_calibration_cache(cache)
+    assert table and all(v > 0 for v in table.values())
+    for _, m in nnx.iter_modules(q):
+        if (
+            isinstance(m, qat_iao.FakeQuantizer)
+            and m.observer == "entropy"
+            and not m.union
+        ):
+            assert float(m.max_val.value.max()) > 0
+    _, acc = tr.evaluate()
+    assert 0.0 <= acc <= 1.0
+
+
+def test_entropy_state_rides_checkpoint():
+    """ent_counts/ent_absmax are QuantStat — they survive nnx.split/merge
+    like every other buffer, so calibration can pause/resume."""
+    cfg = QuantConfig(a_bits=8, w_bits=8, ptq=True, ptq_observer="kl")
+    fq = qat_iao.FakeQuantizer(8, observer="entropy")
+    fq.observe(jax.random.normal(jax.random.PRNGKey(0), (1000,)))
+    gdef, state = nnx.split(fq)
+    fq2 = nnx.merge(gdef, state)
+    np.testing.assert_array_equal(
+        np.asarray(fq.ent_counts.value), np.asarray(fq2.ent_counts.value)
+    )
+    assert float(fq2.ent_absmax.value) == float(fq.ent_absmax.value)
+    assert cfg.ptq_observer == "kl"
