@@ -15,7 +15,10 @@ normal_regular_prune    prune [--normal_regular N]
 gc_prune                prune --gc
 iao|wbwtab bn_fuse.py   bn-fuse --method {iao,wbwtab}
 *_model_test.py         model-test
-(TensorRT deploy)       freeze-int
+(TensorRT deploy)       freeze-int (int-sim engine checkpoint),
+                        deploy (serialized StableHLO artifact),
+                        train --ptq --ptq_observer kl --calib_cache f
+                        (entropy calibration + cache)
 =====================  ===========================================
 """
 
@@ -79,6 +82,7 @@ def _quant_config(args):
         qaft=args.qaft,
         ptq=args.ptq,
         percentile=args.percentile,
+        ptq_observer=getattr(args, "ptq_observer", "percentile"),
         W=args.W,
         A=args.A,
     )
@@ -98,6 +102,19 @@ def _add_quant_flags(p: argparse.ArgumentParser):
     p.add_argument("--ptq_control", action="store_true", help="cap PTQ at 2 epochs")
     p.add_argument("--ptq_batch", type=int, default=200)
     p.add_argument("--percentile", type=float, default=0.9999)
+    p.add_argument(
+        "--ptq_observer",
+        choices=["percentile", "kl"],
+        default="percentile",
+        help="PTQ calibrator: reference percentile histogram, or "
+        "TensorRT-style KL entropy calibration",
+    )
+    p.add_argument(
+        "--calib_cache",
+        default=None,
+        help="KL calibration-table file: loaded if present, written "
+        "otherwise (TRT calibration cache)",
+    )
     p.add_argument("--W", type=int, default=2, help="wbwtab: 2 bin, 3 ter, 32 fp")
     p.add_argument("--A", type=int, default=2, help="wbwtab: 2 bin, 32 fp")
 
@@ -150,6 +167,7 @@ def cmd_train(args) -> int:
         ptq=args.ptq,
         ptq_batch=args.ptq_batch,
         ptq_control=args.ptq_control,
+        calib_cache=args.calib_cache,
     )
     trainer = Trainer(qmodel, tcfg)
     if args.resume:
@@ -328,6 +346,36 @@ def cmd_freeze_int(args) -> int:
     return 0
 
 
+def cmd_deploy(args) -> int:
+    """Serialize a deployable engine artifact (reference eval_trt.py flow:
+    checkpoint -> fused -> int engine -> serialized program + calibration
+    table alongside)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from .infer import freeze_int, fuse_bn_iao, serialize_engine
+    from .nn import eval_mode, prepare
+    from .train import load_state
+
+    cfg = _quant_config(args)
+    model = _build_model(args.model_type, _model_cfg(args), nnx.Rngs(0))
+    q = prepare(model, cfg, method="iao", inplace=True)
+    if args.model:
+        load_state(args.model, q)
+    fused = fuse_bn_iao(q, cfg)
+    eval_mode(fused)
+    engine = freeze_int(fused, example_input=jnp.zeros((1, 32, 32, 3), jnp.float32))
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    data = serialize_engine(
+        engine, batch=args.batch, path=args.save, platforms=platforms
+    )
+    print(
+        f"serialized engine ({len(data)} bytes, batch {args.batch}, "
+        f"platforms {platforms or 'current'}) -> {args.save}"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="micronet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -392,6 +440,23 @@ def main(argv=None) -> int:
     pf.add_argument("--save", default="models_save/int8_engine.npz")
     _add_quant_flags(pf)
     pf.set_defaults(fn=cmd_freeze_int)
+
+    pd = sub.add_parser(
+        "deploy", help="serialize a weights-embedded StableHLO engine artifact"
+    )
+    pd.add_argument("--model_type", type=int, default=1)
+    pd.add_argument("--cfg", default="")
+    pd.add_argument("--model", default="")
+    pd.add_argument("--save", default="models_save/engine.stablehlo")
+    pd.add_argument("--batch", type=int, default=32)
+    pd.add_argument(
+        "--platforms",
+        default="",
+        help="comma list of target platforms (e.g. 'tpu' to cross-build); "
+        "default: current backend",
+    )
+    _add_quant_flags(pd)
+    pd.set_defaults(fn=cmd_deploy)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -4,6 +4,12 @@ tools (SURVEY.md §2.7) re-designed as pure tree transforms; the int-sim
 integer engine replaces its TensorRT deploy leg."""
 
 from .bn_fuse import fuse_bn_iao, fuse_bn_wbwtab, pre_quantize_weights
+from .deploy import (
+    CompiledEngine,
+    build_engine,
+    deserialize_engine,
+    serialize_engine,
+)
 from .engine import (
     IntAdd,
     IntConcat,
@@ -30,4 +36,8 @@ __all__ = [
     "IntConcat",
     "evaluate_model",
     "paired_equivalence_eval",
+    "CompiledEngine",
+    "build_engine",
+    "serialize_engine",
+    "deserialize_engine",
 ]

@@ -97,3 +97,49 @@ def test_cli_prune_quant_qaft_fuse_engine(tmp_path):
     y_train = np.asarray(q(x))
     y_int = np.asarray(engine(x))
     assert np.array_equal(np.argmax(y_train, -1), np.argmax(y_int, -1))
+
+
+def test_cli_kl_ptq_then_deploy(tmp_path):
+    """float train -> KL-entropy PTQ (--ptq_observer kl --calib_cache) ->
+    deploy (serialized StableHLO artifact) — the reference's TRT leg
+    (calibrate with IInt8EntropyCalibrator2 + cache, build + serialize the
+    engine, eval_trt.py:145-172) as one CLI chain."""
+    import os
+
+    import jax
+
+    common = ["--model_type", "0", "--epochs", "1", "--train_batch_size", "64"]
+    cfg8 = ",".join(["8"] * 8)
+    float_ckpt = str(tmp_path / "float.npz")
+    ptq_ckpt = str(tmp_path / "ptq.npz")
+    cache = str(tmp_path / "calib.json")
+    artifact = str(tmp_path / "engine.stablehlo")
+
+    rc = cli.main(
+        ["train", "--method", "float", "--cfg", cfg8, "--save", float_ckpt]
+        + common
+    )
+    assert rc == 0
+
+    rc = cli.main(
+        ["train", "--method", "iao", "--cfg", cfg8, "--refine", float_ckpt,
+         "--bn_fuse", "--pretrained_model", "--ptq", "--ptq_observer", "kl",
+         "--ptq_batch", "3", "--calib_cache", cache, "--save", ptq_ckpt]
+        + common
+    )
+    assert rc == 0
+    assert os.path.exists(cache)
+    assert os.path.exists(ptq_ckpt)
+
+    rc = cli.main(
+        ["deploy", "--model_type", "0", "--cfg", cfg8, "--model", ptq_ckpt,
+         "--bn_fuse", "--ptq", "--ptq_observer", "kl", "--batch", "4",
+         "--save", artifact]
+    )
+    assert rc == 0
+
+    from micronet_tpu.infer import deserialize_engine
+
+    runner = deserialize_engine(artifact)
+    y = np.asarray(runner(jax.numpy.zeros((4, 32, 32, 3), "float32")))
+    assert y.shape == (4, 10) and np.isfinite(y).all()
