@@ -67,6 +67,14 @@ class CompiledEngine:
     ``get_engine`` time, not first-inference time). Calls pick the
     smallest covering bucket; oversized batches run in largest-bucket
     chunks; the padded tail rows are sliced away.
+
+    ``mesh`` turns on sharded serving (net-new vs both the reference and
+    TRT, which are single-device): the batch shards over the mesh's
+    ``data`` axis and the engine's weights/scales channel-shard over the
+    ``model`` axis (:func:`micronet_tpu.parallel.channel_sharding_for`),
+    so one bucketed program scales across chips with XLA inserting the
+    ICI collectives. Buckets are rounded up to multiples of the data-axis
+    size so every shard stays equal.
     """
 
     def __init__(
@@ -75,11 +83,22 @@ class CompiledEngine:
         buckets: Sequence[int],
         example_shape: Tuple[int, ...],
         dtype=jnp.float32,
+        mesh=None,
+        data_axis: str = "data",
+        model_axis: str = "model",
     ):
         if not buckets:
             raise ValueError("need at least one batch bucket")
         eval_mode(model)
         gdef, state = nnx.split(model)
+        self.mesh = mesh
+        self._data_axis = data_axis
+        if mesh is not None:
+            from ..parallel.sharding import shard_state
+
+            state = shard_state(state, mesh, model_axis)
+            dsize = mesh.shape[data_axis]
+            buckets = [-(-int(b) // dsize) * dsize for b in buckets]
         self._state = state
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.example_shape = tuple(example_shape)
@@ -91,7 +110,17 @@ class CompiledEngine:
         fn = jax.jit(forward)
         self._compiled = {}
         for b in self.buckets:
-            x_sds = jax.ShapeDtypeStruct((b, *self.example_shape), dtype)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                xsh = NamedSharding(
+                    mesh, P(data_axis, *([None] * len(self.example_shape)))
+                )
+                x_sds = jax.ShapeDtypeStruct(
+                    (b, *self.example_shape), dtype, sharding=xsh
+                )
+            else:
+                x_sds = jax.ShapeDtypeStruct((b, *self.example_shape), dtype)
             self._compiled[b] = fn.lower(state, x_sds).compile()
 
     def _run_bucket(self, b: int, x: jax.Array) -> jax.Array:
@@ -99,6 +128,10 @@ class CompiledEngine:
         if n < b:
             pad = jnp.zeros((b - n, *self.example_shape), self.dtype)
             x = jnp.concatenate([x, pad], axis=0)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            x = shard_batch(x, self.mesh, self._data_axis)
         return self._compiled[b](self._state, x)[:n]
 
     def __call__(self, x) -> jax.Array:
@@ -131,12 +164,14 @@ def build_engine(
     profile: Tuple[int, int, int] = (1, 32, 256),
     example_shape: Tuple[int, ...] = (32, 32, 3),
     dtype=jnp.float32,
+    mesh=None,
 ) -> CompiledEngine:
     """TRT ``get_engine`` analog: profile = (min, opt, max) batch. ``opt``
-    is guaranteed its own exact bucket; min/max bound the ladder."""
+    is guaranteed its own exact bucket; min/max bound the ladder. ``mesh``
+    enables sharded serving (see :class:`CompiledEngine`)."""
     lo, opt, hi = profile
     buckets = sorted(set(profile_buckets(lo, hi)) | {int(opt)})
-    return CompiledEngine(model, buckets, example_shape, dtype)
+    return CompiledEngine(model, buckets, example_shape, dtype, mesh=mesh)
 
 
 def serialize_engine(

@@ -82,3 +82,25 @@ def test_compiled_engine_flops_reported():
     compiled = CompiledEngine(engine, buckets=(2,), example_shape=(32, 32, 3))
     fl = compiled.flops
     assert set(fl) == {2}
+
+
+def test_sharded_serving_matches_single_device():
+    """Mesh-sharded serving (net-new vs TRT): a dp=4 x tp=2 mesh engine
+    reproduces the single-device engine across bucket-padded and chunked
+    batch sizes — weights channel-sharded, batch data-sharded, XLA
+    inserting the collectives."""
+    from micronet_tpu.parallel import make_mesh
+
+    engine = _frozen_engine()
+    eval_mode(engine)
+    mesh = make_mesh(data=4, model=2)
+    compiled = build_engine(
+        engine, profile=(1, 4, 8), example_shape=(32, 32, 3), mesh=mesh
+    )
+    # buckets rounded up to data-axis multiples
+    assert all(b % 4 == 0 for b in compiled.buckets)
+    for n in (2, 4, 8, 11):
+        x = jax.random.normal(jax.random.PRNGKey(n), (n, 32, 32, 3))
+        np.testing.assert_allclose(
+            np.asarray(compiled(x)), np.asarray(engine(x)), rtol=1e-5, atol=1e-5
+        )
