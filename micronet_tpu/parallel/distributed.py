@@ -74,11 +74,18 @@ def dp_shard_map_step(
 
     def reduce_state(state):
         def visit(path, leaf):
-            last = path[-1] if path else None
-            name = str(getattr(last, "key", getattr(last, "name", last)))
+            # leaf paths end in the VariableState's own 'value' attribute;
+            # the stat's name is the innermost non-'value' key
+            names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+            name = next((n for n in reversed(names) if n != "value"), None)
             if name in ("min_val",):
                 return jax.lax.pmin(leaf, axis)
-            if name in ("max_val",):
+            if name in ("max_val", "ent_absmax"):
+                # ent_absmax is the entropy histogram's grid range: pmean
+                # would shrink it below some replicas' data and corrupt the
+                # grid; pmax keeps every replica's mass in range (the
+                # per-shard counts then pmean below — scale of counts does
+                # not move the KL threshold, only the shape does)
                 return jax.lax.pmax(leaf, axis)
             if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
                 return jax.lax.pmean(leaf, axis)

@@ -249,3 +249,35 @@ def test_entropy_state_rides_checkpoint():
     )
     assert float(fq2.ent_absmax.value) == float(fq.ent_absmax.value)
     assert cfg.ptq_observer == "kl"
+
+
+def test_entropy_calibration_sharded_batch_gspmd():
+    """Multi-chip PTQ (the default GSPMD path): streaming a data-sharded
+    batch through an entropy observer yields the same histogram and
+    threshold as the unsharded stream — XLA globalizes the absmax
+    reduction and the scatter-add histogram across the mesh."""
+    from micronet_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(data=8)
+
+    def run(shard):
+        fq = qat_iao.FakeQuantizer(8, observer="entropy")
+
+        @nnx.jit
+        def observe(fq, x):
+            fq.observe(x)
+
+        for i in range(4):
+            x = jax.random.normal(jax.random.PRNGKey(i), (16, 64)) * (1.0 + i)
+            if shard:
+                x = shard_batch(x, mesh)
+            observe(fq, x)
+        return np.asarray(fq.ent_counts.value), float(fq.ent_absmax.value)
+
+    c1, m1 = run(False)
+    c2, m2 = run(True)
+    assert m1 == m2
+    np.testing.assert_allclose(c1, c2, atol=1e-3)
+    t1 = kl_threshold(c1.astype(np.float64), m1)
+    t2 = kl_threshold(c2.astype(np.float64), m2)
+    assert t1 == t2
