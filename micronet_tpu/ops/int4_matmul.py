@@ -27,11 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "quantize_int4_weight",
+    "quantize_int4_weight_grouped",
     "pack_int4",
     "unpack_int4",
     "int4_matmul_xla",
     "int4_matmul",
+    "int4_matmul_grouped_xla",
+    "int4_matmul_grouped",
     "wo_linear",
+    "wo_linear_grouped",
 ]
 
 
@@ -175,4 +179,167 @@ def wo_linear(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.Array:
         out = int4_matmul(x2, packed, scale)
     else:
         out = int4_matmul_xla(x2, packed, scale)
+    return out.reshape(*lead, packed.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# Group-wise (block) scales — the production W4 format (GPTQ/AWQ-style):
+# one scale per (group of g contraction rows) x (output column), so
+# per-row outliers cannot blow up a whole column's step size.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int4_weight_grouped(
+    w: jax.Array, group: int = 128
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric group-wise int4: scale = max|w| / 7 over each ``group``-row
+    block of the contraction axis. Returns (w_q int8 (K, N), scale f32
+    (K/group, N)). K must be divisible by ``group``."""
+    k, n = w.shape
+    assert k % group == 0, (k, group)
+    wg = w.reshape(k // group, group, n)
+    absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax / 7.0, 1e-8).astype(jnp.float32)
+    q = jnp.sign(wg / scale) * jnp.floor(jnp.abs(wg / scale) + 0.5)
+    w_q = jnp.clip(q, -7, 7).astype(jnp.int8).reshape(k, n)
+    return w_q, scale.reshape(k // group, n)
+
+
+def _expand_gscale(gscale: jax.Array, group: int) -> jax.Array:
+    """(K/g, N) -> (K, N) by repeating each scale row g times
+    (broadcast+reshape — legal in Mosaic, no gather)."""
+    gs, n = gscale.shape
+    return jnp.broadcast_to(gscale[:, None, :], (gs, group, n)).reshape(
+        gs * group, n
+    )
+
+
+def _dequant_grouped_bf16(packed: jax.Array, gscale: jax.Array, group: int):
+    """Shared dequant ordering for the oracle and the kernel: nibbles as
+    f32, times the f32 group scale, rounded once into bf16 — bit-identical
+    between the two paths by construction."""
+    low, high = _nibbles(packed)
+    w = jnp.concatenate([low, high], axis=0).astype(jnp.float32)
+    scale = _expand_gscale(gscale, group)
+    return (w * scale).astype(jnp.bfloat16)
+
+
+def int4_matmul_grouped_xla(
+    x: jax.Array, packed: jax.Array, gscale: jax.Array
+) -> jax.Array:
+    """Reference semantics: group-dequantize to bf16, then matmul with f32
+    accumulation (scales live inside K, so they cannot fold into the
+    epilogue like the per-column variant)."""
+    k2 = packed.shape[0]
+    k = k2 * 2
+    group = k // gscale.shape[0]
+    w = _dequant_grouped_bf16(packed, gscale, group)
+    xb = x.astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    # split-K double dot mirrors the kernel's reduction order exactly
+    return jax.lax.dot_general(
+        xb[:, :k2], w[:k2], dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) + jax.lax.dot_general(
+        xb[:, k2:], w[k2:], dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _kernel_grouped(x_ref, wp_ref, gscale_ref, out_ref, *, group):
+    # float-math nibble extraction (see _kernel) + in-VMEM group-scale
+    # expansion; weights dequantize to bf16 BEFORE the dot because the
+    # scale varies along K
+    pf = (wp_ref[:].astype(jnp.int32) & 0xFF).astype(jnp.float32)
+    uhigh = jnp.floor(pf * (1.0 / 16.0))
+    ulow = pf - uhigh * 16.0
+    low = jnp.where(ulow >= 8.0, ulow - 16.0, ulow)
+    high = jnp.where(uhigh >= 8.0, uhigh - 16.0, uhigh)
+    k2 = low.shape[0]
+    scale = _expand_gscale(gscale_ref[:], group)  # (K, bn) f32 in VMEM
+    wlow = (low * scale[:k2]).astype(jnp.bfloat16)
+    whigh = (high * scale[k2:]).astype(jnp.bfloat16)
+    x = x_ref[:].astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    out_ref[:] = jax.lax.dot_general(
+        x[:, :k2], wlow, dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) + jax.lax.dot_general(
+        x[:, k2:], whigh, dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn"))
+def int4_matmul_grouped(
+    x: jax.Array,
+    packed: jax.Array,
+    gscale: jax.Array,
+    *,
+    bm: int = 256,
+    bn: int = 512,
+) -> jax.Array:
+    """x (M, K) @ int4-packed w (K/2, N) with (K/g, N) group scales.
+
+    Requires g | K/2 so each packed nibble half covers whole groups (true
+    for every LLM shape at g=128: K/2 is a multiple of 2048/2).
+    """
+    m, k = x.shape
+    k2, n = packed.shape
+    assert k == 2 * k2, (x.shape, packed.shape)
+    groups = gscale.shape[0]
+    assert k % groups == 0
+    group = k // groups
+    assert k2 % group == 0, (
+        f"group {group} must divide K/2={k2} (pack halves must cover whole groups)"
+    )
+    bm = min(bm, -(-m // 16) * 16)
+    bn = min(bn, -(-n // 128) * 128)
+    mp = -(-m // bm) * bm
+    np_ = -(-n // bn) * bn
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    if np_ != n:
+        packed = jnp.pad(packed, ((0, 0), (0, np_ - n)))
+        gscale = jnp.pad(gscale, ((0, 0), (0, np_ - n)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_grouped, group=group),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(mp // bm, np_ // bn),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (groups, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k * 2 + k2 * np_ + groups * np_ * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, packed, gscale)
+    return out[:m, :n]
+
+
+def wo_linear_grouped(
+    x: jax.Array, packed: jax.Array, gscale: jax.Array
+) -> jax.Array:
+    """Group-scaled weight-only int4 linear over arbitrary leading dims."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() == "tpu":
+        out = int4_matmul_grouped(x2, packed, gscale)
+    else:
+        out = int4_matmul_grouped_xla(x2, packed, gscale)
     return out.reshape(*lead, packed.shape[1])

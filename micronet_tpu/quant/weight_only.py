@@ -28,8 +28,10 @@ from flax import nnx, struct
 from ..ops.int4_matmul import (
     pack_int4,
     quantize_int4_weight,
+    quantize_int4_weight_grouped,
     unpack_int4,
     wo_linear,
+    wo_linear_grouped,
 )
 
 from ..nn.modules import OrderedModule as _OrderedModule
@@ -46,29 +48,48 @@ __all__ = [
 
 @struct.dataclass
 class WOTensor:
-    """A weight-only-quantized 2-D tensor: packed int4 + per-column scale."""
+    """A weight-only-quantized 2-D tensor: packed int4 + scale.
+
+    ``group == 0``: per-column scale (1, N). ``group > 0``: GPTQ/AWQ-style
+    block scales (K/group, N) — one step size per (group rows x column),
+    so a single outlier row cannot widen a whole column's step.
+    """
 
     packed: jax.Array  # (K/2, N) int8
-    scale: jax.Array  # (1, N) f32
+    scale: jax.Array  # (1, N) or (K/group, N) f32
     # static shape info (padding restores odd K)
     k: int = struct.field(pytree_node=False, default=0)
+    group: int = struct.field(pytree_node=False, default=0)
 
     def dequantize(self) -> jax.Array:
-        w = unpack_int4(self.packed)[: self.k]
-        return w.astype(jnp.float32) * self.scale
+        w = unpack_int4(self.packed)[: self.k].astype(jnp.float32)
+        if self.group:
+            gs, n = self.scale.shape
+            scale = jnp.broadcast_to(
+                self.scale[:, None, :], (gs, self.group, n)
+            ).reshape(gs * self.group, n)[: self.k]
+            return w * scale
+        return w * self.scale
 
     def matmul(self, x: jax.Array) -> jax.Array:
-        if self.packed.shape[0] * 2 == self.k:
+        full = self.packed.shape[0] * 2 == self.k
+        if self.group and full and self.packed.shape[0] % self.group == 0:
+            return wo_linear_grouped(x, self.packed, self.scale)
+        if not self.group and full:
             return wo_linear(x, self.packed, self.scale.reshape(-1))
-        return x @ self.dequantize()  # odd-K fallback
+        return x @ self.dequantize()  # odd-K / ragged-group fallback
 
 
-def _quantize_2d(w: jax.Array) -> WOTensor:
+def _quantize_2d(w: jax.Array, group: int = 0) -> WOTensor:
     k = w.shape[0]
-    w_q, scale = quantize_int4_weight(w, axis=0)
+    if group and k % group == 0:
+        w_q, scale = quantize_int4_weight_grouped(w, group)
+    else:
+        group = 0
+        w_q, scale = quantize_int4_weight(w, axis=0)
     if k % 2:
         w_q = jnp.pad(w_q, ((0, 1), (0, 0)))
-    return WOTensor(packed=pack_int4(w_q), scale=scale, k=k)
+    return WOTensor(packed=pack_int4(w_q), scale=scale, k=k, group=group)
 
 
 class WOLinear(_OrderedModule):
@@ -78,21 +99,23 @@ class WOLinear(_OrderedModule):
         self.packed = nnx.Variable(wo.packed)
         self.scale = nnx.Variable(wo.scale)
         self.k = wo.k
+        self.group = wo.group
         self.bias = nnx.Variable(bias) if bias is not None else None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        wo = WOTensor(self.packed.value, self.scale.value, self.k)
+        wo = WOTensor(self.packed.value, self.scale.value, self.k, self.group)
         out = wo.matmul(x)
         if self.bias is not None:
             out = out + self.bias.value
         return out
 
 
-def wo_quantize_linear(linear) -> WOLinear:
-    """Convert a ``micronet_tpu.nn.Linear`` ((in, out) kernel) to int4."""
+def wo_quantize_linear(linear, group: int = 0) -> WOLinear:
+    """Convert a ``micronet_tpu.nn.Linear`` ((in, out) kernel) to int4;
+    ``group > 0`` uses block scales."""
     w = linear.weight.value
     b = None if linear.bias is None else linear.bias.value
-    return WOLinear(_quantize_2d(w), b)
+    return WOLinear(_quantize_2d(w, group), b)
 
 
 def quantize_pytree(
@@ -100,13 +123,15 @@ def quantize_pytree(
     *,
     min_size: int = 1 << 16,
     predicate: Optional[Callable[[Tuple, jax.Array], bool]] = None,
+    group: int = 0,
 ) -> Any:
     """Replace large 2-D float leaves of ``params`` with WOTensor records.
 
     ``predicate(path, leaf)`` can veto individual leaves (e.g. embeddings
     or layernorm scales); default: every float 2-D leaf with
     ``size >= min_size`` is quantized along axis 0 (the contraction axis
-    of ``x @ w`` convention).
+    of ``x @ w`` convention). ``group > 0`` (e.g. 128) selects block
+    scales; leaves whose K is not divisible fall back to per-column.
     """
 
     def visit(path, leaf):
@@ -117,7 +142,7 @@ def quantize_pytree(
             and leaf.size >= min_size
             and (predicate is None or predicate(path, leaf))
         ):
-            return _quantize_2d(leaf)
+            return _quantize_2d(leaf, group)
         return leaf
 
     return jax.tree_util.tree_map_with_path(visit, params)

@@ -17,6 +17,7 @@ from micronet_tpu.ops.int4_matmul import (
 )
 from micronet_tpu.quant.weight_only import (
     WOTensor,
+    dequantize_leaf,
     pytree_bytes,
     quantize_pytree,
     wo_quantize_linear,
@@ -110,3 +111,94 @@ def test_quantize_pytree_and_decode():
     # ~7-8x compression
     ratio = pytree_bytes(params) / pytree_bytes(qparams)
     assert ratio > 6, ratio
+
+
+# ---- group-wise (block) scales ----
+
+
+def test_grouped_quantize_beats_per_column_on_outlier_rows():
+    """The point of block scales: an outlier ROW widens only its own
+    group's step, so overall reconstruction error drops."""
+    from micronet_tpu.ops.int4_matmul import (
+        quantize_int4_weight,
+        quantize_int4_weight_grouped,
+    )
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (512, 64)) * 0.02
+    w = w.at[7].mul(50.0)  # one huge row
+    q_c, s_c = quantize_int4_weight(w, axis=0)
+    q_g, s_g = quantize_int4_weight_grouped(w, group=128)
+    deq_c = q_c.astype(jnp.float32) * s_c
+    gs, n = s_g.shape
+    scale_full = jnp.broadcast_to(s_g[:, None, :], (gs, 128, n)).reshape(512, n)
+    deq_g = q_g.astype(jnp.float32) * scale_full
+    err_c = float(jnp.linalg.norm(deq_c - w))
+    err_g = float(jnp.linalg.norm(deq_g - w))
+    # the outlier poisons only 1 of 4 groups: err^2 drops ~4x, err ~2x
+    assert err_g < 0.6 * err_c, (err_g, err_c)
+    assert s_g.shape == (4, 64)
+
+
+def test_int4_matmul_grouped_matches_xla():
+    from micronet_tpu.ops.int4_matmul import (
+        int4_matmul_grouped,
+        int4_matmul_grouped_xla,
+        pack_int4,
+        quantize_int4_weight_grouped,
+    )
+
+    k, n, m, g = 512, 256, 24, 128
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n)) * 0.05
+    w_out = w.at[3].mul(30.0)  # outlier variant: kernel/oracle exactness
+    x = jax.random.normal(jax.random.PRNGKey(2), (m, k))
+    for wt in (w, w_out):
+        w_q, gscale = quantize_int4_weight_grouped(wt, g)
+        packed = pack_int4(w_q)
+        y_ref = int4_matmul_grouped_xla(x, packed, gscale)
+        y_ker = int4_matmul_grouped(x, packed, gscale, bm=16, bn=128)
+        np.testing.assert_allclose(
+            np.asarray(y_ker), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+        )
+    # clean weights: the whole path approximates the float matmul (bf16
+    # dequant + int4 steps => a few percent)
+    w_q, gscale = quantize_int4_weight_grouped(w, g)
+    y_ref = int4_matmul_grouped_xla(x, pack_int4(w_q), gscale)
+    y_f = np.asarray(x @ w)
+    rel = np.linalg.norm(np.asarray(y_ref) - y_f) / np.linalg.norm(y_f)
+    # int4 RTN on gaussian weights: scale~2.8sigma/7, RMS err ~ scale/sqrt(12)
+    # ~ 11% of sigma -> the matmul inherits it
+    assert rel < 0.15, rel
+
+
+def test_wo_linear_grouped_module_and_pytree():
+    lin = M.Linear(256, 128, rngs=nnx.Rngs(0))
+    wo = wo_quantize_linear(lin, group=64)
+    assert wo.group == 64 and wo.scale.value.shape == (4, 128)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 256))
+    y_q = np.asarray(wo(x))
+    y_f = np.asarray(lin(x))
+    rel = np.linalg.norm(y_q - y_f) / np.linalg.norm(y_f)
+    assert rel < 0.1, rel
+
+    params = {"mlp": jax.random.normal(jax.random.PRNGKey(4), (512, 512))}
+    qp = quantize_pytree(params, min_size=1, group=128)
+    assert qp["mlp"].group == 128
+    deq = jax.tree.map(
+        dequantize_leaf, qp, is_leaf=lambda l: hasattr(l, "packed")
+    )
+    rel = float(
+        jnp.linalg.norm(deq["mlp"] - params["mlp"])
+        / jnp.linalg.norm(params["mlp"])
+    )
+    assert rel < 0.15  # int4 RTN error class on gaussian weights
+
+    # non-divisible K falls back to per-column, still correct
+    lin2 = M.Linear(100, 32, rngs=nnx.Rngs(1))
+    wo2 = wo_quantize_linear(lin2, group=64)
+    assert wo2.group == 0
+    x2 = jax.random.normal(jax.random.PRNGKey(5), (4, 100))
+    rel2 = float(
+        jnp.linalg.norm(wo2(x2) - lin2(x2)) / jnp.linalg.norm(lin2(x2))
+    )
+    assert rel2 < 0.1
