@@ -1,0 +1,155 @@
+"""Minimal transformer decoder — the LLM-serving demo anchor.
+
+Net-new vs the reference (vision CNNs only; SURVEY.md §5 marks the LLM
+path as the stretch capability): a small causal decoder wired so every
+serving-side quantization piece composes end to end —
+
+- big matmuls swap to weight-only int4 (:mod:`micronet_tpu.quant.weight_only`,
+  per-column or GPTQ-style group scales, Pallas decode kernel on TPU),
+- the KV cache stores int8 codes + per-(head, position) scales
+  (:mod:`micronet_tpu.quant.kv_cache`),
+- prefill and single-token decode run over the same statically-shaped
+  cache, so the decode loop is one compiled program (scan/jit friendly).
+
+This is a capability demo at CI scale, not a pretrained model: tests
+drive float-vs-quantized parity on it; bench uses Llama-shaped layers
+from the kernels directly (BENCHMARKS.md).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..nn.modules import Linear, OrderedModule
+from ..quant.kv_cache import QuantKVCache, append_kv, attend, init_kv_cache
+from ..quant.weight_only import wo_quantize_linear
+
+__all__ = ["TinyDecoder", "quantize_decoder"]
+
+
+class RMSNorm(OrderedModule):
+    def __init__(self, dim: int):
+        self.weight = nnx.Param(jnp.ones((dim,), jnp.float32))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(ms + 1e-6) * self.weight.value).astype(x.dtype)
+
+
+class DecoderBlock(OrderedModule):
+    def __init__(self, dim: int, heads: int, mlp_dim: int, *, rngs: nnx.Rngs):
+        assert dim % heads == 0
+        self.heads = heads
+        self.head_dim = dim // heads
+        self.norm1 = RMSNorm(dim)
+        self.wq = Linear(dim, dim, bias=False, rngs=rngs)
+        self.wk = Linear(dim, dim, bias=False, rngs=rngs)
+        self.wv = Linear(dim, dim, bias=False, rngs=rngs)
+        self.wo = Linear(dim, dim, bias=False, rngs=rngs)
+        self.norm2 = RMSNorm(dim)
+        self.up = Linear(dim, mlp_dim, bias=False, rngs=rngs)
+        self.down = Linear(mlp_dim, dim, bias=False, rngs=rngs)
+
+    def _split(self, x: jax.Array) -> jax.Array:
+        t, _ = x.shape
+        return x.reshape(t, self.heads, self.head_dim).transpose(1, 0, 2)
+
+    def __call__(
+        self,
+        x: jax.Array,  # (T, dim) — unbatched; vmap for batch
+        cache: QuantKVCache,
+        offset: jax.Array,
+    ) -> Tuple[jax.Array, QuantKVCache]:
+        h = self.norm1(x)
+        q, k, v = self._split(self.wq(h)), self._split(self.wk(h)), self._split(self.wv(h))
+        cache = append_kv(cache, k, v)
+        att = attend(cache, q, causal_offset=offset)  # (H, T, D)
+        att = att.transpose(1, 0, 2).reshape(x.shape[0], -1)
+        x = x + self.wo(att)
+        h2 = self.norm2(x)
+        x = x + self.down(jax.nn.gelu(self.up(h2)))
+        return x, cache
+
+
+class TinyDecoder(OrderedModule):
+    """Causal decoder LM over a token vocabulary (unbatched forward)."""
+
+    def __init__(
+        self,
+        vocab: int = 256,
+        dim: int = 64,
+        heads: int = 4,
+        depth: int = 2,
+        mlp_dim: int = 128,
+        max_seq: int = 64,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.vocab, self.dim, self.max_seq = vocab, dim, max_seq
+        self.heads, self.depth = heads, depth
+        key = rngs.params()
+        self.embed = nnx.Param(
+            jax.random.normal(key, (vocab, dim), jnp.float32) * 0.02
+        )
+        self.pos = nnx.Param(
+            jax.random.normal(jax.random.fold_in(key, 1), (max_seq, dim)) * 0.02
+        )
+        self.blocks = nnx.List(
+            [DecoderBlock(dim, heads, mlp_dim, rngs=rngs) for _ in range(depth)]
+        )
+        self.norm = RMSNorm(dim)
+        self.lm_head = Linear(dim, vocab, bias=False, rngs=rngs)
+
+    def init_cache(self) -> List[QuantKVCache]:
+        return [
+            init_kv_cache(self.heads, self.max_seq, self.dim // self.heads)
+            for _ in range(self.depth)
+        ]
+
+    def forward(
+        self,
+        tokens: jax.Array,  # (T,) int32
+        caches: List[QuantKVCache],
+        offset: jax.Array,  # scalar: absolute position of tokens[0]
+    ) -> Tuple[jax.Array, List[QuantKVCache]]:
+        """Prefill (T>1) or decode (T==1) step: logits (T, vocab) + caches."""
+        t = tokens.shape[0]
+        pos_ids = offset + jnp.arange(t)
+        x = self.embed.value[tokens] + self.pos.value[pos_ids]
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk(x, cache, offset)
+            new_caches.append(cache)
+        return self.lm_head(self.norm(x)), new_caches
+
+    def generate(
+        self, prompt: jax.Array, steps: int
+    ) -> jax.Array:
+        """Greedy decode ``steps`` tokens after ``prompt`` (host loop over a
+        jitted step — the cache is functional state, so a lax.scan variant
+        is a pure refactor)."""
+        caches = self.init_cache()
+        logits, caches = self.forward(prompt, caches, jnp.int32(0))
+        tok = jnp.argmax(logits[-1]).astype(jnp.int32)
+        out = [int(tok)]
+        offset = jnp.int32(prompt.shape[0])
+        for _ in range(steps - 1):
+            logits, caches = self.forward(tok[None], caches, offset)
+            tok = jnp.argmax(logits[-1]).astype(jnp.int32)
+            out.append(int(tok))
+            offset = offset + 1
+        return jnp.asarray(out, jnp.int32)
+
+
+def quantize_decoder(model: TinyDecoder, group: int = 0) -> TinyDecoder:
+    """Swap every block Linear (attention projections + MLP) for
+    weight-only int4 — the serving conversion. The embedding, positional
+    table, norms, and lm_head stay float (standard W4 practice)."""
+    for blk in model.blocks:
+        for name in ("wq", "wk", "wv", "wo", "up", "down"):
+            setattr(blk, name, wo_quantize_linear(getattr(blk, name), group))
+    return model

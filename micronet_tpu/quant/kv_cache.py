@@ -1,0 +1,140 @@
+"""Int8 KV-cache quantization for LLM decode (net-new vs the reference).
+
+SURVEY.md §5 marks long-context work as net-new, built on the same
+shape-polymorphic quantizer axes: the KV cache is the decode-path HBM
+bottleneck (every generated token re-reads the whole cache), so storing
+it as int8 codes + per-(head, position) scales halves/quarters the read
+traffic vs bf16/f32 at negligible accuracy cost — the per-vector scale is
+exactly the reference's per-channel observer idea
+(iao/quantize.py:27-30) applied along the sequence axis.
+
+Everything is functional state (struct.dataclass pytrees) so the cache
+threads through ``lax.scan``/``jax.jit`` decode loops and checkpoints as
+plain data. Quantization is symmetric absmax/127 per (layer, head,
+position) vector at APPEND time — one pass, no calibration needed,
+matching production int8-KV serving stacks.
+
+Layout: (num_heads, max_seq, head_dim) codes int8 per layer, scales
+(num_heads, max_seq, 1) f32. Attention dequantizes inside the jit —
+XLA fuses the int8→f32 convert + scale multiply into the matmul
+prologue, so the HBM win is realized without a custom kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+__all__ = [
+    "QuantKVCache",
+    "init_kv_cache",
+    "append_kv",
+    "attend",
+    "kv_cache_bytes",
+]
+
+
+def _quantize_vec(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric int8 over the last axis: (..., D) -> codes int8 + scale
+    (..., 1) f32. Round half away from zero (quantizers.py convention)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8).astype(jnp.float32)
+    r = x.astype(jnp.float32) / scale
+    q = jnp.sign(r) * jnp.floor(jnp.abs(r) + 0.5)
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+@struct.dataclass
+class QuantKVCache:
+    """One layer's quantized KV cache (static max length, fill pointer)."""
+
+    k_codes: jax.Array  # (H, S, D) int8
+    k_scale: jax.Array  # (H, S, 1) f32
+    v_codes: jax.Array  # (H, S, D) int8
+    v_scale: jax.Array  # (H, S, 1) f32
+    length: jax.Array  # scalar int32 fill pointer
+
+    @property
+    def max_seq(self) -> int:
+        return self.k_codes.shape[1]
+
+    def dequant_k(self) -> jax.Array:
+        return self.k_codes.astype(jnp.float32) * self.k_scale
+
+    def dequant_v(self) -> jax.Array:
+        return self.v_codes.astype(jnp.float32) * self.v_scale
+
+
+def init_kv_cache(
+    num_heads: int, max_seq: int, head_dim: int
+) -> QuantKVCache:
+    return QuantKVCache(
+        k_codes=jnp.zeros((num_heads, max_seq, head_dim), jnp.int8),
+        k_scale=jnp.zeros((num_heads, max_seq, 1), jnp.float32),
+        v_codes=jnp.zeros((num_heads, max_seq, head_dim), jnp.int8),
+        v_scale=jnp.zeros((num_heads, max_seq, 1), jnp.float32),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def append_kv(
+    cache: QuantKVCache, k: jax.Array, v: jax.Array
+) -> QuantKVCache:
+    """Quantize-and-append ``k``/``v`` of shape (H, T, D) at the fill
+    pointer (T static, typically 1 for decode or the prompt length for
+    prefill). Static shapes + dynamic_update_slice — scan/jit friendly."""
+    kq, ks = _quantize_vec(k)
+    vq, vs = _quantize_vec(v)
+    i = cache.length
+    upd = lambda buf, val: jax.lax.dynamic_update_slice(
+        buf, val, (0, i, 0)
+    )
+    return QuantKVCache(
+        k_codes=upd(cache.k_codes, kq),
+        k_scale=upd(cache.k_scale, ks),
+        v_codes=upd(cache.v_codes, vq),
+        v_scale=upd(cache.v_scale, vs),
+        length=i + k.shape[1],
+    )
+
+
+def attend(
+    cache: QuantKVCache,
+    q: jax.Array,
+    *,
+    causal_offset: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Multi-head attention of ``q`` (H, T, D) against the quantized cache.
+
+    Positions at or beyond the fill pointer are masked; with
+    ``causal_offset`` (the absolute position of q's first token), query t
+    additionally cannot see positions beyond ``causal_offset + t`` —
+    together: standard causal decode/prefill semantics over a
+    statically-shaped cache. Dequant happens in the matmul prologue (XLA
+    fuses convert+scale); softmax in f32.
+    """
+    h, t, d = q.shape
+    s = cache.max_seq
+    kf = cache.dequant_k()  # (H, S, D)
+    vf = cache.dequant_v()
+    logits = jnp.einsum("htd,hsd->hts", q.astype(jnp.float32), kf)
+    logits = logits / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    pos = jnp.arange(s)[None, None, :]  # (1, 1, S)
+    valid = pos < cache.length
+    if causal_offset is not None:
+        tq = causal_offset + jnp.arange(t)[None, :, None]  # (1, T, 1)
+        valid = jnp.logical_and(valid, pos <= tq)
+    logits = jnp.where(valid, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("hts,hsd->htd", probs, vf).astype(q.dtype)
+
+
+def kv_cache_bytes(cache: QuantKVCache) -> int:
+    """Storage bytes (codes + scales) — the HBM-traffic accounting."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(cache):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -1,0 +1,126 @@
+"""LLM serving kit: int8 KV cache + weight-only decoder (net-new vs the
+reference — SURVEY.md §5 stretch path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from micronet_tpu.models.tiny_decoder import TinyDecoder, quantize_decoder
+from micronet_tpu.quant.kv_cache import (
+    append_kv,
+    attend,
+    init_kv_cache,
+    kv_cache_bytes,
+)
+
+
+def _rand(key, shape, scale=1.0):
+    return jax.random.normal(jax.random.PRNGKey(key), shape) * scale
+
+
+def test_kv_quantization_accuracy():
+    """int8 per-(head, position) KV codes reproduce float attention to ~1%."""
+    h, s, d = 4, 32, 16
+    k = _rand(0, (h, s, d))
+    v = _rand(1, (h, s, d))
+    q = _rand(2, (h, 1, d))
+    cache = append_kv(init_kv_cache(h, s, d), k, v)
+    out_q = attend(cache, q)
+    # float reference with the same mask semantics
+    logits = jnp.einsum("htd,hsd->hts", q, k) / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out_f = jnp.einsum("hts,hsd->htd", probs, v)
+    rel = float(jnp.linalg.norm(out_q - out_f) / jnp.linalg.norm(out_f))
+    assert rel < 0.02, rel
+
+
+def test_prefill_equals_incremental_decode():
+    """Appending T tokens at once or one at a time gives the IDENTICAL
+    cache (per-vector scales are independent of batch grouping)."""
+    h, s, d, t = 2, 16, 8, 5
+    k = _rand(3, (h, t, d))
+    v = _rand(4, (h, t, d))
+    c1 = append_kv(init_kv_cache(h, s, d), k, v)
+    c2 = init_kv_cache(h, s, d)
+    for i in range(t):
+        c2 = append_kv(c2, k[:, i : i + 1], v[:, i : i + 1])
+    for a, b in zip(jax.tree.leaves(c1), jax.tree.leaves(c2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_causal_mask_blocks_future():
+    """With causal_offset, query t must ignore cache positions > offset+t
+    even though they are already filled."""
+    h, s, d = 1, 8, 4
+    k = _rand(5, (h, s, d))
+    v = _rand(6, (h, s, d))
+    cache = append_kv(init_kv_cache(h, s, d), k, v)  # fully filled
+    q = _rand(7, (h, 2, d))
+    out = attend(cache, q, causal_offset=jnp.int32(0))
+    # reference: token 0 sees position 0 only; token 1 sees 0..1
+    for t in range(2):
+        kt, vt = k[:, : t + 1], v[:, : t + 1]
+        cache_t = append_kv(init_kv_cache(h, s, d), kt, vt)
+        ref = attend(cache_t, q[:, t : t + 1])
+        np.testing.assert_allclose(
+            np.asarray(out[:, t : t + 1]), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_kv_cache_compression_ratio():
+    h, s, d = 8, 128, 64
+    cache = init_kv_cache(h, s, d)
+    f32_bytes = 2 * h * s * d * 4  # K and V in f32
+    ratio = f32_bytes / kv_cache_bytes(cache)
+    assert 3.5 < ratio < 4.0  # int8 codes + per-vector scales
+
+
+def test_decoder_prefill_decode_consistency():
+    """Prefill of [t0..t3] then decode t4 == prefill of [t0..t4]: same
+    final-position logits (the static-cache bookkeeping is sound)."""
+    m = TinyDecoder(vocab=64, dim=32, heads=2, depth=2, mlp_dim=64, max_seq=16,
+                    rngs=nnx.Rngs(0))
+    toks = jnp.asarray([3, 14, 15, 9, 26], jnp.int32)
+    logits_full, _ = m.forward(toks, m.init_cache(), jnp.int32(0))
+    l4, caches = m.forward(toks[:4], m.init_cache(), jnp.int32(0))
+    l5, _ = m.forward(toks[4:], caches, jnp.int32(4))
+    np.testing.assert_allclose(
+        np.asarray(l5[0]), np.asarray(logits_full[-1]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_quantized_decoder_tracks_float():
+    """W4-grouped weights + int8 KV: logits stay close to the float
+    decoder, greedy generation runs end to end."""
+    mf = TinyDecoder(vocab=64, dim=64, heads=4, depth=2, mlp_dim=128,
+                     max_seq=16, rngs=nnx.Rngs(0))
+    mq = TinyDecoder(vocab=64, dim=64, heads=4, depth=2, mlp_dim=128,
+                     max_seq=16, rngs=nnx.Rngs(0))
+    mq = quantize_decoder(mq, group=32)
+    toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    lf, _ = mf.forward(toks, mf.init_cache(), jnp.int32(0))
+    lq, _ = mq.forward(toks, mq.init_cache(), jnp.int32(0))
+    lf, lq = np.asarray(lf), np.asarray(lq)
+    cos = float((lf * lq).sum() / (np.linalg.norm(lf) * np.linalg.norm(lq)))
+    assert cos > 0.98, cos
+
+    out = mq.generate(toks, steps=4)
+    assert out.shape == (4,) and int(out.max()) < 64
+
+
+def test_decoder_forward_jits():
+    """The decode step compiles as one program over functional cache state."""
+    m = TinyDecoder(vocab=32, dim=32, heads=2, depth=1, mlp_dim=64, max_seq=8,
+                    rngs=nnx.Rngs(0))
+    gdef, state = nnx.split(m)
+
+    @jax.jit
+    def step(state, tok, caches, offset):
+        model = nnx.merge(gdef, state)
+        return model.forward(tok, caches, offset)
+
+    caches = m.init_cache()
+    logits, caches = step(state, jnp.asarray([5], jnp.int32), caches, jnp.int32(0))
+    logits2, _ = step(state, jnp.asarray([7], jnp.int32), caches, jnp.int32(1))
+    assert logits.shape == (1, 32) and np.isfinite(np.asarray(logits2)).all()
