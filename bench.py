@@ -178,10 +178,60 @@ def _bench_int4(detail):
     )
 
 
+def _bench_llm_decode(detail):
+    """One Llama-8B-shaped decode step: W4 grouped weights + int8 KV vs
+    bf16 weights + bf16 KV (benchmarks/llm_decode.py, condensed)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "llm_decode",
+        os.path.join(os.path.dirname(__file__), "benchmarks", "llm_decode.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from micronet_tpu.ops.int4_matmul import (
+        pack_int4,
+        quantize_int4_weight_grouped,
+    )
+    from micronet_tpu.quant.kv_cache import append_kv, init_kv_cache
+    from micronet_tpu.utils.timing import per_step_seconds
+
+    key = jax.random.PRNGKey(0)
+    ws = mod.build_weights(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, mod.DIM), jnp.float32)
+    params = {}
+    for n, w in ws.items():
+        wq, gs = quantize_int4_weight_grouped(w, 128)
+        params[n] = (pack_int4(wq), gs)
+    cache = init_kv_cache(mod.HEADS, mod.SEQ, mod.HEAD_DIM)
+    fk = jax.random.normal(jax.random.PRNGKey(2), (mod.HEADS, mod.SEQ - 1, mod.HEAD_DIM))
+    fv = jax.random.normal(jax.random.PRNGKey(3), (mod.HEADS, mod.SEQ - 1, mod.HEAD_DIM))
+    cache = append_kv(cache, fk, fv)
+    sec_q = per_step_seconds(
+        lambda s, xi: mod.decode_step_w4(s[0], s[1], xi)[0], (params, cache), x,
+        iters=32,
+    )
+    wsb = {n: w.astype(jnp.bfloat16) for n, w in ws.items()}
+    sec_b = per_step_seconds(
+        lambda s, xi: mod.decode_step_bf16(
+            s[0], s[1], s[2], xi
+        ),
+        (wsb, fk.astype(jnp.bfloat16), fv.astype(jnp.bfloat16)),
+        x,
+        iters=32,
+    )
+    detail.update(
+        decode_w4_int8kv_us=round(sec_q * 1e6, 1),
+        decode_bf16_us=round(sec_b * 1e6, 1),
+        decode_w4_vs_bf16=round(sec_b / sec_q, 2),
+    )
+
+
 def main():
     detail = {}
     best, fps_fp = _bench_nin_gc(detail)
-    for section in (_bench_resnet18, _bench_train, _bench_int4):
+    for section in (_bench_resnet18, _bench_train, _bench_int4, _bench_llm_decode):
         try:
             section(detail)
         except Exception as e:  # keep the headline metric robust

@@ -124,3 +124,48 @@ def test_decoder_forward_jits():
     logits, caches = step(state, jnp.asarray([5], jnp.int32), caches, jnp.int32(0))
     logits2, _ = step(state, jnp.asarray([7], jnp.int32), caches, jnp.int32(1))
     assert logits.shape == (1, 32) and np.isfinite(np.asarray(logits2)).all()
+
+
+def test_decode_bench_steps_smoke(monkeypatch):
+    """benchmarks/llm_decode.py step functions at CI scale: the W4+int8KV
+    step and the bf16 baseline agree and run under jit."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "llm_decode_mod",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks", "llm_decode.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "DIM", 64)
+    monkeypatch.setattr(mod, "HEADS", 4)
+    monkeypatch.setattr(mod, "HEAD_DIM", 16)
+    monkeypatch.setattr(mod, "MLP", 128)
+    monkeypatch.setattr(mod, "SEQ", 16)
+
+    from micronet_tpu.ops.int4_matmul import (
+        pack_int4,
+        quantize_int4_weight_grouped,
+    )
+    from micronet_tpu.quant.kv_cache import append_kv, init_kv_cache
+
+    ws = mod.build_weights(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64))
+    params = {}
+    for n, w in ws.items():
+        wq, gs = quantize_int4_weight_grouped(w, 32)
+        params[n] = (pack_int4(wq), gs)
+    cache = init_kv_cache(4, 16, 16)
+    fk = jax.random.normal(jax.random.PRNGKey(2), (4, 15, 16))
+    fv = jax.random.normal(jax.random.PRNGKey(3), (4, 15, 16))
+    cache = append_kv(cache, fk, fv)
+    y_q, _ = jax.jit(mod.decode_step_w4)(params, cache, x)
+    y_b = jax.jit(mod.decode_step_bf16)(
+        ws, fk.astype(jnp.bfloat16), fv.astype(jnp.bfloat16), x
+    )
+    y_q, y_b = np.asarray(y_q), np.asarray(y_b)
+    assert np.isfinite(y_q).all() and np.isfinite(y_b).all()
+    # W4 + int8KV vs bf16 baseline: same computation class
+    rel = np.linalg.norm(y_q - y_b) / np.linalg.norm(y_b)
+    assert rel < 0.25, rel
