@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from .rounding import ste_round
 
-__all__ = ["quantize_activation", "quantize_weight"]
+__all__ = ["quantize_activation", "activation_codes", "quantize_weight"]
 
 
 def quantize_activation(x: jax.Array, a_bits: int) -> jax.Array:
@@ -35,6 +35,22 @@ def quantize_activation(x: jax.Array, a_bits: int) -> jax.Array:
     x = jnp.clip(x.astype(jnp.float32) * 0.1, 0.0, 1.0)
     scale = 1.0 / float((1 << a_bits) - 1)
     return (ste_round(x / scale) * scale).astype(dtype)
+
+
+def activation_codes(x: jax.Array, a_bits: int):
+    """(codes, scale) with ``quantize_activation(x) == codes * scale``.
+
+    Operand form of the code-storage training lowering
+    (QuantConfig.act_codes, BENCHMARKS.md): codes are integers in
+    ``[0, 2^a - 1]`` — exact in bfloat16 for a <= 8 — so the conv reads
+    2-byte operands; the fixed DoReFa scale folds into the epilogue.
+    Gradient: the STE round + clamp mask ride ``codes`` exactly as in the
+    standard composition (only the final multiply moves).
+    """
+    assert a_bits not in (1, 32)
+    x = jnp.clip(x.astype(jnp.float32) * 0.1, 0.0, 1.0)
+    scale = 1.0 / float((1 << a_bits) - 1)
+    return ste_round(x / scale), scale
 
 
 def quantize_weight(w: jax.Array, w_bits: int) -> jax.Array:

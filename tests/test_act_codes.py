@@ -157,3 +157,69 @@ def test_auto_resolves_off_on_cpu():
     cfg = QuantConfig(a_bits=8, w_bits=8)  # act_codes="auto"
     layer = qat_iao.QuantConv2d(4, 4, 1, cfg=cfg, rngs=nnx.Rngs(0))
     assert layer.act_codes is False  # conftest pins the CPU backend
+
+
+# ---- DoReFa code-storage lowering ----
+
+
+def test_dorefa_codes_layers():
+    """DoReFa conv/linear/convtranspose: codes path == standard path
+    (values + gradients) with CPU's f32 code dtype."""
+    from micronet_tpu.nn import qat_dorefa
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 10, 6)) * 3
+    for ctor, xi in [
+        (lambda cfg, rngs: qat_dorefa.QuantConv2d(6, 8, 3, padding=1, cfg=cfg, rngs=rngs), x),
+        (lambda cfg, rngs: qat_dorefa.QuantConvTranspose2d(6, 8, 3, stride=2, cfg=cfg, rngs=rngs), x),
+        (lambda cfg, rngs: qat_dorefa.QuantLinear(6, 8, cfg=cfg, rngs=rngs),
+         jax.random.normal(jax.random.PRNGKey(2), (4, 6)) * 3),
+    ]:
+        off = ctor(dataclasses.replace(BASE), nnx.Rngs(0))
+        on = ctor(dataclasses.replace(BASE, act_codes="on"), nnx.Rngs(0))
+        y_off, y_on = off(xi), on(xi)
+        np.testing.assert_allclose(
+            np.asarray(y_on), np.asarray(y_off), atol=2e-5
+        )
+        g_out = jax.random.normal(jax.random.PRNGKey(7), y_off.shape)
+        gp_off, gx_off = _grads(off, xi, g_out)
+        gp_on, gx_on = _grads(on, xi, g_out)
+        np.testing.assert_allclose(np.asarray(gx_on), np.asarray(gx_off), atol=2e-5)
+        for a, b in zip(gp_on, gp_off):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_dorefa_codes_training_trajectory():
+    """5 Adam steps of a DoReFa NIN: codes-on trajectory == codes-off on
+    CPU (f32 codes, exact composition)."""
+
+    def run(mode):
+        cfg = QuantConfig(a_bits=4, w_bits=4, act_codes=mode)
+        q = prepare(nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0)), cfg, method="dorefa")
+        M.train_mode(q)
+        opt = nnx.Optimizer(q, optax.adam(1e-3), wrt=nnx.Param)
+
+        @nnx.jit
+        def step(model, opt, x, y):
+            def loss_fn(m):
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    m(x), y
+                ).mean()
+
+            loss, grads = nnx.value_and_grad(loss_fn)(model)
+            opt.update(model, grads)
+            return loss
+
+        losses = []
+        for i in range(5):
+            x = jax.random.normal(jax.random.PRNGKey(i), (8, 32, 32, 3))
+            y = jax.random.randint(jax.random.PRNGKey(100 + i), (8,), 0, 10)
+            losses.append(float(step(q, opt, x, y)))
+        return losses
+
+    l_on, l_off = run("on"), run("off")
+    # per-layer the composition is exact to 1e-6 (test above); through 9
+    # stacked quantizers a 1e-7 fusion-reassociation difference can land a
+    # value on the other side of a round() boundary and flip one code by a
+    # whole step, so whole-model trajectories are compared statistically,
+    # not bitwise
+    np.testing.assert_allclose(l_on, l_off, rtol=2e-2, atol=2e-2)
