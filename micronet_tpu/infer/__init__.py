@@ -3,6 +3,7 @@ pre-quantization, paired equivalence eval — the reference's post-training
 tools (SURVEY.md §2.7) re-designed as pure tree transforms; the int-sim
 integer engine replaces its TensorRT deploy leg."""
 
+from .bf16 import bf16_runner, to_bf16
 from .bn_fuse import fuse_bn_iao, fuse_bn_wbwtab, pre_quantize_weights
 from .deploy import (
     CompiledEngine,
@@ -40,4 +41,6 @@ __all__ = [
     "build_engine",
     "serialize_engine",
     "deserialize_engine",
+    "to_bf16",
+    "bf16_runner",
 ]

@@ -139,3 +139,41 @@ def test_wbwtab_ternary_engine():
             np.asarray(y_int), np.asarray(y_fused), atol=2e-3, rtol=1e-3,
             err_msg=f"W={W}",
         )
+
+
+def test_bf16_eval_mode():
+    """to_bf16 (the TRT fp16-flag analog): halves float storage, output
+    tracks f32 within bf16 tolerance on a fused export."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from micronet_tpu.infer import bf16_runner, to_bf16
+    from micronet_tpu.models import nin
+    from micronet_tpu.nn import eval_mode, train_mode
+
+    m = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    train_mode(m)
+    for i in range(2):
+        m(jax.random.normal(jax.random.PRNGKey(i), (4, 32, 32, 3)))
+    eval_mode(m)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 32, 32, 3))
+    y_f32 = np.asarray(m(x))
+    f32_bytes = sum(
+        l.size * l.dtype.itemsize
+        for l in jax.tree.leaves(nnx.state(m))
+        if hasattr(l, "dtype")
+    )
+    mb = to_bf16(m)
+    bf_bytes = sum(
+        l.size * l.dtype.itemsize
+        for l in jax.tree.leaves(nnx.state(mb))
+        if hasattr(l, "dtype")
+    )
+    assert bf_bytes < 0.6 * f32_bytes
+    run = bf16_runner(mb)
+    y_bf = np.asarray(jax.jit(run)(x))
+    assert y_bf.dtype == np.float32
+    rel = np.linalg.norm(y_bf - y_f32) / np.linalg.norm(y_f32)
+    assert rel < 0.05, rel
