@@ -48,9 +48,10 @@ def main():
     print(f"best acc {best * 100:.2f}%")
 
     fused = fuse_bn_iao(model, cfg)
-    acc_t, acc_i = paired_equivalence_eval(
+    acc_t, acc_i, fps_t, fps_i = paired_equivalence_eval(
         model, fused, trainer.data.test_images, trainer.data.test_labels
     )
+    print(f"FPS: train {fps_t:.1f} inference {fps_i:.1f}")
     assert abs(acc_t - acc_i) < 0.005, "train/inference equivalence violated"
 
     engine = freeze_int(fused)

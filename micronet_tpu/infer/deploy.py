@@ -210,9 +210,7 @@ def deserialize_engine(data_or_path) -> Callable[[jax.Array], jax.Array]:
     (``runtime.deserialize_cuda_engine``, util_trt.py:99-116)."""
     from jax import export as jexport
 
-    if isinstance(data_or_path, (str, bytes)) and not isinstance(
-        data_or_path, bytes
-    ):
+    if isinstance(data_or_path, str):
         with open(data_or_path, "rb") as f:
             data = f.read()
     else:

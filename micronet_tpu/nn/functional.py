@@ -132,11 +132,16 @@ def conv_transpose2d(
             for g in range(groups)
         ]
         y = jnp.concatenate(ys, axis=-1)
-    if bias is not None:
-        y = y + bias.astype(y.dtype)
-    if preferred_element_type is not None and jnp.issubdtype(
+    int_path = preferred_element_type is not None and jnp.issubdtype(
         preferred_element_type, jnp.integer
-    ):
+    )
+    if bias is not None:
+        if int_path:
+            # a float bias would silently truncate into the int32
+            # accumulator; the engine applies bias in the f32 epilogue
+            raise ValueError("bias is not supported on the integer path")
+        y = y + bias.astype(y.dtype)
+    if int_path:
         return y  # raw int32 accumulator for the int engine
     return y.astype(x.dtype)
 

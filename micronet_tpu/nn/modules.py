@@ -36,11 +36,14 @@ def _stamp_assignment_order(val) -> None:
     ASSIGNMENT order — torch ``named_children`` insertion order, the
     semantics the reference's tree rewrites assume — governs tree walks
     even when submodules were *constructed* in a different order."""
-    if isinstance(val, nnx.Module):
+    # nnx.List subclasses nnx.Module: test it first, else items are
+    # never re-stamped and only the List object would get a fresh stamp
+    if isinstance(val, nnx.List):
         val._mn_order = next(_ORDER)
-    elif isinstance(val, nnx.List):
         for item in val:
             _stamp_assignment_order(item)
+    elif isinstance(val, nnx.Module):
+        val._mn_order = next(_ORDER)
 
 
 class OrderedModule(nnx.Module):

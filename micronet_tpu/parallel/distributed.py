@@ -72,21 +72,49 @@ def dp_shard_map_step(
     """
     from jax.experimental.shard_map import shard_map
 
+    def _names(path):
+        return [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+
     def reduce_state(state):
+        # entropy histograms need their sibling grid range: collect each
+        # quantizer's local ent_absmax keyed by the owning-module prefix
+        absmax_by_prefix = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
+            names = _names(path)
+            if len(names) >= 2 and names[-2] == "ent_absmax":
+                absmax_by_prefix[tuple(names[:-2])] = leaf
+
         def visit(path, leaf):
             # leaf paths end in the VariableState's own 'value' attribute;
             # the stat's name is the innermost non-'value' key
-            names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+            names = _names(path)
             name = next((n for n in reversed(names) if n != "value"), None)
             if name in ("min_val",):
                 return jax.lax.pmin(leaf, axis)
             if name in ("max_val", "ent_absmax"):
                 # ent_absmax is the entropy histogram's grid range: pmean
-                # would shrink it below some replicas' data and corrupt the
-                # grid; pmax keeps every replica's mass in range (the
-                # per-shard counts then pmean below — scale of counts does
-                # not move the KL threshold, only the shape does)
+                # would shrink it below some replicas' data and corrupt
+                # the grid; pmax keeps every replica's mass in range
                 return jax.lax.pmax(leaf, axis)
+            if name == "ent_counts":
+                # each replica binned over [0, local_absmax]: rescale onto
+                # the merged (pmax) grid BEFORE averaging, else a narrow
+                # replica's mass is reinterpreted at ~global/local times
+                # its true position (count scale itself is irrelevant to
+                # the KL search; the grid is not)
+                from ..quant.observers import _rescale_counts
+
+                local_max = absmax_by_prefix[tuple(names[:-2])]
+                global_max = jax.lax.pmax(local_max, axis)
+                ratio = jnp.where(
+                    global_max > 0,
+                    local_max / jnp.maximum(global_max, 1e-30),
+                    1.0,
+                )
+                rescaled = jnp.where(
+                    ratio >= 1.0 - 1e-12, leaf, _rescale_counts(leaf, ratio)
+                )
+                return jax.lax.pmean(rescaled, axis)
             if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
                 return jax.lax.pmean(leaf, axis)
             return leaf

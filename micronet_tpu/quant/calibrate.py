@@ -152,6 +152,14 @@ def finalize_entropy_calibration(
     cached = None
     if cache and os.path.exists(cache):
         cached = load_calibration_cache(cache)
+    # a cache substitutes for statistics only when none were streamed
+    # (TRT's read_calibration_cache short-circuits a FRESH build); live
+    # histograms take precedence and refresh the file, so multi-epoch
+    # calibration keeps improving instead of freezing at the first write
+    if cached is not None and any(
+        bool(fq.initialized.value) for _, fq in _entropy_quantizers(model)
+    ):
+        cached = None
     table: Dict[str, float] = {}
     for path, fq in _entropy_quantizers(model):
         if cached is not None:
@@ -174,7 +182,7 @@ def finalize_entropy_calibration(
         fq.update_qparams()
     _refresh_union_scales(model)
     if cache and cached is None:
-        save_calibration_cache(cache, table)
+        save_calibration_cache(cache, table)  # (over)write with fresh stats
     return table
 
 

@@ -64,11 +64,9 @@ class WOTensor:
     def dequantize(self) -> jax.Array:
         w = unpack_int4(self.packed)[: self.k].astype(jnp.float32)
         if self.group:
-            gs, n = self.scale.shape
-            scale = jnp.broadcast_to(
-                self.scale[:, None, :], (gs, self.group, n)
-            ).reshape(gs * self.group, n)[: self.k]
-            return w * scale
+            from ..ops.int4_matmul import _expand_gscale
+
+            return w * _expand_gscale(self.scale, self.group)[: self.k]
         return w * self.scale
 
     def matmul(self, x: jax.Array) -> jax.Array:

@@ -281,3 +281,83 @@ def test_entropy_calibration_sharded_batch_gspmd():
     t1 = kl_threshold(c1.astype(np.float64), m1)
     t2 = kl_threshold(c2.astype(np.float64), m2)
     assert t1 == t2
+
+
+def test_calib_cache_refreshes_with_streamed_stats(tmp_path):
+    """A cache short-circuits only a FRESH build; a model with streamed
+    histograms recomputes and overwrites (multi-epoch PTQ must not freeze
+    at the first epoch's thresholds)."""
+    import json
+
+    cache = str(tmp_path / "c.json")
+    cfg = QuantConfig(a_bits=8, w_bits=8, ptq=True, ptq_observer="kl")
+    from micronet_tpu.models import nin
+
+    q = prepare(nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0)), cfg, method="iao")
+    train_mode(q)
+    q(jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3)))
+    t1 = finalize_entropy_calibration(q, cache=cache)
+    # stream much wider data: thresholds must move and the file must follow
+    q(jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3)) * 10)
+    t2 = finalize_entropy_calibration(q, cache=cache)
+    assert t2 != t1
+    assert load_calibration_cache(cache) == t2
+    # fresh model + cache: still the TRT read-cache path
+    q3 = prepare(nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0)), cfg, method="iao")
+    t3 = finalize_entropy_calibration(q3, cache=cache)
+    assert t3 == t2
+
+
+def test_shard_map_entropy_grid_rescale():
+    """Explicit-collective DP with KL observers: a shard-local outlier
+    widens the merged grid; other shards' counts must be RESCALED onto it,
+    so the reduced histogram matches the single-device full-batch one."""
+    import optax
+
+    from micronet_tpu.models import nin
+    from micronet_tpu.parallel import make_mesh
+    from micronet_tpu.parallel.distributed import dp_shard_map_step
+
+    mesh = make_mesh(data=8)
+    cfg = QuantConfig(a_bits=8, w_bits=8, ptq=True, ptq_observer="kl")
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 32, 32, 3))
+    x = x.at[0].mul(8.0)  # outlier lives on shard 0 only
+    y = jax.random.randint(jax.random.PRNGKey(1), (16,), 0, 10)
+
+    q = prepare(nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0)), cfg, method="iao")
+    train_mode(q)
+    gdef, state = nnx.split(q)
+    step = dp_shard_map_step(
+        gdef, mesh,
+        lambda lg, yy: optax.softmax_cross_entropy_with_integer_labels(lg, yy).mean(),
+    )
+    _, _, new_state = step(state, x, y)
+    qs = nnx.merge(gdef, new_state)
+
+    qb = prepare(nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0)), cfg, method="iao")
+    train_mode(qb)
+    qb(x)  # single device, full batch
+
+    fa = next(
+        m.activation_quantizer
+        for _, m in nnx.iter_modules(qs)
+        if isinstance(m, qat_iao.QuantConv2d)
+    )
+    fb = next(
+        m.activation_quantizer
+        for _, m in nnx.iter_modules(qb)
+        if isinstance(m, qat_iao.QuantConv2d)
+    )
+    assert float(fa.ent_absmax.value) == float(fb.ent_absmax.value)
+    ca = np.asarray(fa.ent_counts.value)
+    cb = np.asarray(fb.ent_counts.value)
+    # shard_map pmean divides total mass by 8 but must preserve the SHAPE;
+    # compare normalized histograms (rescale splitting smears each count
+    # across at most two adjacent bins -> compare coarsened)
+    pa = (ca / ca.sum()).reshape(256, -1).sum(1)
+    pb = (cb / cb.sum()).reshape(256, -1).sum(1)
+    np.testing.assert_allclose(pa, pb, atol=5e-3)
+    ta = kl_threshold(ca.astype(np.float64), float(fa.ent_absmax.value))
+    tb = kl_threshold(cb.astype(np.float64), float(fb.ent_absmax.value))
+    np.testing.assert_allclose(ta, tb, rtol=0.05)
