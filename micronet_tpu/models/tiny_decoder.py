@@ -145,11 +145,15 @@ class TinyDecoder(OrderedModule):
         return jnp.asarray(out, jnp.int32)
 
 
-def quantize_decoder(model: TinyDecoder, group: int = 0) -> TinyDecoder:
+def quantize_decoder(
+    model: TinyDecoder, group: int = 0, bits: int = 4
+) -> TinyDecoder:
     """Swap every block Linear (attention projections + MLP) for
-    weight-only int4 — the serving conversion. The embedding, positional
-    table, norms, and lm_head stay float (standard W4 practice)."""
+    weight-only int4/int8 — the serving conversion. The embedding,
+    positional table, norms, and lm_head stay float (standard practice)."""
     for blk in model.blocks:
         for name in ("wq", "wk", "wv", "wo", "up", "down"):
-            setattr(blk, name, wo_quantize_linear(getattr(blk, name), group))
+            setattr(
+                blk, name, wo_quantize_linear(getattr(blk, name), group, bits)
+            )
     return model

@@ -38,6 +38,8 @@ from ..nn.modules import OrderedModule as _OrderedModule
 
 __all__ = [
     "WOTensor",
+    "quantize_int8_weight",
+    "quantize_int8_weight_grouped",
     "WOLinear",
     "wo_quantize_linear",
     "quantize_pytree",
@@ -48,21 +50,31 @@ __all__ = [
 
 @struct.dataclass
 class WOTensor:
-    """A weight-only-quantized 2-D tensor: packed int4 + scale.
+    """A weight-only-quantized 2-D tensor: int4 (packed) or int8 codes
+    + scale.
 
     ``group == 0``: per-column scale (1, N). ``group > 0``: GPTQ/AWQ-style
     block scales (K/group, N) — one step size per (group rows x column),
     so a single outlier row cannot widen a whole column's step.
+    ``bits == 4``: nibble-packed (K/2, N) storage, Pallas decode kernel.
+    ``bits == 8``: plain int8 (K, N) codes — dequantize-and-matmul in XLA
+    (the convert fuses into the dot prologue; weights move 1 byte).
     """
 
-    packed: jax.Array  # (K/2, N) int8
+    packed: jax.Array  # (K/2, N) int8 nibbles (bits=4) or (K, N) int8
     scale: jax.Array  # (1, N) or (K/group, N) f32
     # static shape info (padding restores odd K)
     k: int = struct.field(pytree_node=False, default=0)
     group: int = struct.field(pytree_node=False, default=0)
+    bits: int = struct.field(pytree_node=False, default=4)
+
+    def _codes(self) -> jax.Array:
+        if self.bits == 8:
+            return self.packed.astype(jnp.float32)
+        return unpack_int4(self.packed)[: self.k].astype(jnp.float32)
 
     def dequantize(self) -> jax.Array:
-        w = unpack_int4(self.packed)[: self.k].astype(jnp.float32)
+        w = self._codes()
         if self.group:
             from ..ops.int4_matmul import _expand_gscale
 
@@ -70,6 +82,16 @@ class WOTensor:
         return w * self.scale
 
     def matmul(self, x: jax.Array) -> jax.Array:
+        if self.bits == 8:
+            # bf16 dequant + dot: XLA fuses convert+scale into the matmul
+            # prologue, so int8 storage halves the weight HBM reads vs bf16
+            w = self.dequantize().astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                x.astype(jnp.bfloat16),
+                w,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         full = self.packed.shape[0] * 2 == self.k
         if self.group and full and self.packed.shape[0] % self.group == 0:
             return wo_linear_grouped(x, self.packed, self.scale)
@@ -78,8 +100,38 @@ class WOTensor:
         return x @ self.dequantize()  # odd-K / ragged-group fallback
 
 
-def _quantize_2d(w: jax.Array, group: int = 0) -> WOTensor:
+def quantize_int8_weight(w: jax.Array, axis: int = 0):
+    """Symmetric per-column int8: scale = max|w| / 127 over ``axis``."""
+    absmax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8).astype(jnp.float32)
+    q = jnp.sign(w / scale) * jnp.floor(jnp.abs(w / scale) + 0.5)
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def quantize_int8_weight_grouped(w: jax.Array, group: int):
+    """Symmetric group-wise int8 (cf. quantize_int4_weight_grouped)."""
+    k, n = w.shape
+    assert k % group == 0, (k, group)
+    wg = w.reshape(k // group, group, n)
+    absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8).astype(jnp.float32)
+    q = jnp.sign(wg / scale) * jnp.floor(jnp.abs(wg / scale) + 0.5)
+    return (
+        jnp.clip(q, -127, 127).astype(jnp.int8).reshape(k, n),
+        scale.reshape(k // group, n),
+    )
+
+
+def _quantize_2d(w: jax.Array, group: int = 0, bits: int = 4) -> WOTensor:
+    assert bits in (4, 8), bits
     k = w.shape[0]
+    if bits == 8:
+        if group and k % group == 0:
+            w_q, scale = quantize_int8_weight_grouped(w, group)
+        else:
+            group = 0
+            w_q, scale = quantize_int8_weight(w, axis=0)
+        return WOTensor(packed=w_q, scale=scale, k=k, group=group, bits=8)
     if group and k % group == 0:
         w_q, scale = quantize_int4_weight_grouped(w, group)
     else:
@@ -98,22 +150,25 @@ class WOLinear(_OrderedModule):
         self.scale = nnx.Variable(wo.scale)
         self.k = wo.k
         self.group = wo.group
+        self.bits = wo.bits
         self.bias = nnx.Variable(bias) if bias is not None else None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        wo = WOTensor(self.packed.value, self.scale.value, self.k, self.group)
+        wo = WOTensor(
+            self.packed.value, self.scale.value, self.k, self.group, self.bits
+        )
         out = wo.matmul(x)
         if self.bias is not None:
             out = out + self.bias.value
         return out
 
 
-def wo_quantize_linear(linear, group: int = 0) -> WOLinear:
-    """Convert a ``micronet_tpu.nn.Linear`` ((in, out) kernel) to int4;
-    ``group > 0`` uses block scales."""
+def wo_quantize_linear(linear, group: int = 0, bits: int = 4) -> WOLinear:
+    """Convert a ``micronet_tpu.nn.Linear`` ((in, out) kernel) to int4 or
+    int8 weight-only; ``group > 0`` uses block scales."""
     w = linear.weight.value
     b = None if linear.bias is None else linear.bias.value
-    return WOLinear(_quantize_2d(w, group), b)
+    return WOLinear(_quantize_2d(w, group, bits), b)
 
 
 def quantize_pytree(
@@ -122,6 +177,7 @@ def quantize_pytree(
     min_size: int = 1 << 16,
     predicate: Optional[Callable[[Tuple, jax.Array], bool]] = None,
     group: int = 0,
+    bits: int = 4,
 ) -> Any:
     """Replace large 2-D float leaves of ``params`` with WOTensor records.
 
@@ -130,6 +186,8 @@ def quantize_pytree(
     ``size >= min_size`` is quantized along axis 0 (the contraction axis
     of ``x @ w`` convention). ``group > 0`` (e.g. 128) selects block
     scales; leaves whose K is not divisible fall back to per-column.
+    ``bits`` selects int4 (packed, Pallas decode) or int8 (plain codes,
+    XLA fused dequant-matmul) storage.
     """
 
     def visit(path, leaf):
@@ -140,7 +198,7 @@ def quantize_pytree(
             and leaf.size >= min_size
             and (predicate is None or predicate(path, leaf))
         ):
-            return _quantize_2d(leaf, group)
+            return _quantize_2d(leaf, group, bits)
         return leaf
 
     return jax.tree_util.tree_map_with_path(visit, params)
