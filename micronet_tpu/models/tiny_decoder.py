@@ -126,6 +126,28 @@ class TinyDecoder(OrderedModule):
             new_caches.append(cache)
         return self.lm_head(self.norm(x)), new_caches
 
+    def forward_batch(
+        self,
+        tokens: jax.Array,  # (B, T) int32
+        caches,  # pytree of QuantKVCache with a leading B on every leaf
+        offset: jax.Array,  # (B,) absolute positions
+    ):
+        """Batched serving step: vmap of :meth:`forward` over requests,
+        weights shared, per-request caches/offsets (continuous-batching
+        shape: each request may sit at a different position)."""
+        gdef, state = nnx.split(self)
+
+        def one(tok, cache, off):
+            return nnx.merge(gdef, state).forward(tok, cache, off)
+
+        return jax.vmap(one)(tokens, caches, offset)
+
+    def init_cache_batch(self, batch: int):
+        """Batched caches: every leaf gains a leading batch dim."""
+        return jax.tree.map(
+            lambda l: jnp.broadcast_to(l, (batch,) + l.shape), self.init_cache()
+        )
+
     def generate(
         self, prompt: jax.Array, steps: int
     ) -> jax.Array:

@@ -199,3 +199,30 @@ def test_decoder_tp_sharded_matches_single_device():
     # decode one more token against the sharded-run cache
     y2, _ = fwd(state_sh, jnp.asarray([5], jnp.int32), caches, jnp.int32(3))
     assert np.isfinite(np.asarray(y2)).all()
+
+
+def test_batched_decode_matches_per_request():
+    """forward_batch (vmap over requests, shared weights, per-request
+    caches + offsets) reproduces the per-request loop — the
+    continuous-batching serving shape."""
+    m = quantize_decoder(
+        TinyDecoder(vocab=64, dim=32, heads=2, depth=2, mlp_dim=64,
+                    max_seq=16, rngs=nnx.Rngs(0)),
+        group=16,
+    )
+    toks = jnp.asarray([[1, 2, 3], [9, 8, 7]], jnp.int32)
+    offs = jnp.asarray([0, 0], jnp.int32)
+    caches = m.init_cache_batch(2)
+    lb, cb = m.forward_batch(toks, caches, offs)
+    for i in range(2):
+        li, ci = m.forward(toks[i], m.init_cache(), jnp.int32(0))
+        np.testing.assert_allclose(
+            np.asarray(lb[i]), np.asarray(li), rtol=1e-5, atol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(cb), jax.tree.leaves(ci)):
+            np.testing.assert_array_equal(np.asarray(a[i]), np.asarray(b))
+    # requests at DIFFERENT positions in one batched step
+    l2, _ = m.forward_batch(
+        jnp.asarray([[5], [6]], jnp.int32), cb, jnp.asarray([3, 3], jnp.int32)
+    )
+    assert l2.shape == (2, 1, 64) and np.isfinite(np.asarray(l2)).all()
