@@ -168,6 +168,7 @@ def cmd_train(args) -> int:
         ptq_batch=args.ptq_batch,
         ptq_control=args.ptq_control,
         calib_cache=args.calib_cache,
+        metrics_path=args.metrics or None,
     )
     trainer = Trainer(qmodel, tcfg)
     if args.resume:
@@ -395,6 +396,7 @@ def main(argv=None) -> int:
     pt.add_argument("--prune_qaft", default="", help="pruned QUANT checkpoint to finetune with --qaft")
     pt.add_argument("--save", default="models_save/model.npz")
     pt.add_argument("-sr", dest="sr", action="store_true", help="sparsity train")
+    pt.add_argument("--metrics", default="", help="JSONL metrics file (epoch/eval rows)")
     pt.add_argument("--s", type=float, default=1e-4, help="BN L1 lambda")
     _add_quant_flags(pt)
     pt.set_defaults(fn=cmd_train)

@@ -60,6 +60,9 @@ class TrainConfig:
     # calibration-cache file for KL-entropy PTQ (TRT read/write cache,
     # deploy/tensorrt/calibrator.py:43-57); None = compute fresh, no file
     calib_cache: Optional[str] = None
+    # JSONL metrics file (utils/metrics.py); None = stdout-only like the
+    # reference's print()-based observability (SURVEY.md §5)
+    metrics_path: Optional[str] = None
     log_every: int = 100
     # rematerialization: recompute activations in the backward pass
     # instead of storing them (jax.checkpoint) — trades ~30% step time for
@@ -84,6 +87,9 @@ class Trainer:
     ):
         self.model = model
         self.cfg = cfg
+        from ..utils.metrics import MetricsLogger
+
+        self.metrics = MetricsLogger(cfg.metrics_path)
         self.data = dataset or data_lib.load_cifar10()
         # data-parallel scale-out: replicate model/optimizer state on the
         # mesh and shard each batch on the 'data' axis; GSPMD inserts the
@@ -203,7 +209,16 @@ class Trainer:
         log(f"epoch {epoch} done in {dt:.1f}s ({n_img / max(dt, 1e-9):.1f} img/s)")
         if cfg.ptq:
             self._maybe_finalize_entropy(log)
-        return float(np.mean(losses)) if losses else float("nan")
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        self.metrics.log(
+            "epoch",
+            epoch=epoch,
+            loss=mean_loss,
+            lr=lr,
+            img_per_s=round(n_img / max(dt, 1e-9), 1),
+            seconds=round(dt, 2),
+        )
+        return mean_loss
 
     def _maybe_finalize_entropy(self, log: Callable[[str], None]) -> None:
         """KL-entropy PTQ: resolve thresholds after each calibration epoch
@@ -255,6 +270,9 @@ class Trainer:
             self.train_epoch(epoch, log)
             _, acc = self.evaluate()
             log(f"epoch {epoch}: test acc {acc * 100:.2f}% (best {self.best_acc * 100:.2f}%)")
+            self.metrics.log(
+                "eval", epoch=epoch, acc=acc, best_acc=max(acc, self.best_acc)
+            )
             if acc > self.best_acc:
                 self.best_acc = acc
                 if checkpoint_path:

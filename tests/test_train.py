@@ -86,3 +86,29 @@ def test_tiny_fit_synthetic():
     assert loss1 < loss0  # synthetic set is learnable
     _, acc = tr.evaluate()
     assert 0.0 <= acc <= 1.0
+
+
+def test_metrics_jsonl_sink(tmp_path):
+    """TrainConfig.metrics_path appends machine-readable epoch/eval rows
+    alongside the reference-style stdout lines (SURVEY.md §5 observability,
+    done better)."""
+    import json
+
+    ds = data.load_cifar10(synthetic_size=64)
+    model = nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0))
+    q = prepare(model, QuantConfig(a_bits=8, w_bits=8), method="dorefa")
+    M.train_mode(q)
+    mpath = str(tmp_path / "metrics.jsonl")
+    tr = Trainer(
+        q,
+        TrainConfig(batch_size=32, epochs=1, log_every=1000, metrics_path=mpath),
+        ds,
+    )
+    tr.fit(epochs=1, log=lambda s: None)
+    rows = [json.loads(l) for l in open(mpath)]
+    events = [r["event"] for r in rows]
+    assert "epoch" in events and "eval" in events
+    ep = next(r for r in rows if r["event"] == "epoch")
+    assert {"epoch", "loss", "lr", "img_per_s", "seconds"} <= set(ep)
+    ev = next(r for r in rows if r["event"] == "eval")
+    assert 0.0 <= ev["acc"] <= 1.0
