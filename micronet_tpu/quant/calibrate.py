@@ -160,20 +160,40 @@ def finalize_entropy_calibration(
         bool(fq.initialized.value) for _, fq in _entropy_quantizers(model)
     ):
         cached = None
+    quantizers = list(_entropy_quantizers(model))
     table: Dict[str, float] = {}
-    for path, fq in _entropy_quantizers(model):
-        if cached is not None:
+    if cached is not None:
+        for path, _ in quantizers:
             if path not in cached:
                 raise KeyError(
                     f"calibration cache {cache!r} has no entry for {path!r}"
                 )
-            thr = cached[path]
+        thresholds = [cached[path] for path, _ in quantizers]
+    else:
+        counts = np.stack(
+            [np.asarray(fq.ent_counts.value, np.float64) for _, fq in quantizers]
+        ) if quantizers else np.zeros((0, 1))
+        absmax = np.asarray(
+            [float(fq.ent_absmax.value) for _, fq in quantizers], np.float64
+        )
+        # the O(bins^2)-per-tensor search runs in the native runtime when
+        # built (parallel across tensors, micronet_host.cpp), Python
+        # reference otherwise — bit-agreement pinned by the test suite
+        from ..train.native_loader import kl_thresholds_batch
+
+        native = (
+            kl_thresholds_batch(counts, absmax, num_quantized_bins)
+            if len(quantizers)
+            else None
+        )
+        if native is not None:
+            thresholds = [float(t) for t in native]
         else:
-            thr = kl_threshold(
-                np.asarray(fq.ent_counts.value),
-                float(fq.ent_absmax.value),
-                num_quantized_bins,
-            )
+            thresholds = [
+                kl_threshold(counts[i], absmax[i], num_quantized_bins)
+                for i in range(len(quantizers))
+            ]
+    for (path, fq), thr in zip(quantizers, thresholds):
         table[path] = float(thr)
         # symmetric qparams use max(|min|, |max|): min stays 0 like the
         # percentile HistogramObserver (iao/quantize.py:116-139)

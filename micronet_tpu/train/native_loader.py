@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "gather_u8", "load_cifar_bin"]
+__all__ = ["available", "gather_u8", "load_cifar_bin", "kl_thresholds_batch"]
 
 _NATIVE_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "native")
@@ -69,6 +69,16 @@ if _lib is not None:
     ]
     _lib.mn_load_cifar_bin.restype = ctypes.c_int
     _lib.mn_load_cifar_bin.argtypes = [ctypes.c_char_p] + [ctypes.c_void_p] * 4
+    _lib.mn_kl_thresholds.restype = ctypes.c_int
+    _lib.mn_kl_thresholds.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_int,
+    ]
 
 
 def available() -> bool:
@@ -101,6 +111,32 @@ def gather_u8(src: np.ndarray, idx: np.ndarray, n_threads: int = 0) -> np.ndarra
     if rc != 0:
         raise RuntimeError(f"mn_gather_u8 failed (rc={rc})")
     return dst
+
+
+def kl_thresholds_batch(
+    counts: np.ndarray, absmax: np.ndarray, num_quantized_bins: int = 128
+) -> Optional[np.ndarray]:
+    """Parallel KL threshold search over a batch of histograms
+    (native/micronet_host.cpp::mn_kl_thresholds); None when the native
+    library is unavailable (caller falls back to the Python search)."""
+    if _lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, np.float64)
+    absmax = np.ascontiguousarray(absmax, np.float64)
+    n, bins = counts.shape
+    out = np.empty((n,), np.float64)
+    rc = _lib.mn_kl_thresholds(
+        counts.ctypes.data,
+        absmax.ctypes.data,
+        n,
+        bins,
+        num_quantized_bins,
+        out.ctypes.data,
+        0,
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def load_cifar_bin(

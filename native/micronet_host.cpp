@@ -13,13 +13,90 @@
 //
 // Exposed with plain C linkage for ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
 #include <thread>
 #include <vector>
+
+
+// Entropy (KL) calibration threshold search — the engine-build hot loop
+// (quant/calibrate.py::kl_threshold, TRT IInt8EntropyCalibrator2 algo).
+// O(bins^2) per tensor in tight C++ instead of a numpy Python loop;
+// parallel across tensors. MUST stay numerically identical to the Python
+// reference (same eps smoothing, same strict < tie-break): the test
+// suite asserts agreement.
+static double kl_one(const double* counts, int64_t bins, double absmax,
+                     int nq) {
+  double total = 0.0;
+  for (int64_t i = 0; i < bins; ++i) total += counts[i];
+  if (absmax <= 0.0 || total <= 0.0) return absmax;
+  if (bins <= nq) return absmax;
+  const double width = absmax / static_cast<double>(bins);
+  std::vector<double> suffix(bins + 1, 0.0);
+  for (int64_t i = bins - 1; i >= 0; --i) suffix[i] = suffix[i + 1] + counts[i];
+  std::vector<double> p(bins), q(bins), gm(nq), gs(nq);
+  double best_kl = 1e300;
+  int64_t best_i = bins;
+  const double eps = 1e-4;
+  for (int64_t i = nq; i <= bins; ++i) {
+    // P: kept bins with the tail clipped into the last one
+    double p_sum = 0.0;
+    for (int64_t j = 0; j < i; ++j) { p[j] = counts[j]; }
+    p[i - 1] += suffix[i];
+    for (int64_t j = 0; j < i; ++j) p_sum += p[j];
+    // Q: quantize i bins into nq groups, expand over nonzero support
+    std::fill(gm.begin(), gm.end(), 0.0);
+    std::fill(gs.begin(), gs.end(), 0.0);
+    for (int64_t j = 0; j < i; ++j) {
+      int g = static_cast<int>(j * nq / i);
+      gm[g] += counts[j];
+      if (counts[j] > 0) gs[g] += 1.0;
+    }
+    double q_sum = 0.0;
+    for (int64_t j = 0; j < i; ++j) {
+      int g = static_cast<int>(j * nq / i);
+      q[j] = (gs[g] > 0 && counts[j] > 0) ? gm[g] / gs[g] : 0.0;
+      q_sum += q[j];
+    }
+    if (q_sum <= 0.0) continue;
+    // normalize + eps-smooth both (mirror _smooth_distribution)
+    int64_t pz = 0, qz = 0;
+    for (int64_t j = 0; j < i; ++j) {
+      p[j] /= p_sum;
+      q[j] /= q_sum;
+      if (p[j] == 0.0) ++pz;
+      if (q[j] == 0.0) ++qz;
+    }
+    const int64_t pn = i - pz, qn = i - qz;
+    if (pn == 0 || qn == 0) continue;
+    const double peps1 = eps * static_cast<double>(pz) / pn;
+    const double qeps1 = eps * static_cast<double>(qz) / qn;
+    bool bad = false;
+    if (pz > 0) {
+      for (int64_t j = 0; j < i && !bad; ++j)
+        if (p[j] != 0.0 && p[j] <= peps1) bad = true;
+    }
+    if (qz > 0) {
+      for (int64_t j = 0; j < i && !bad; ++j)
+        if (q[j] != 0.0 && q[j] <= qeps1) bad = true;
+    }
+    if (bad) continue;
+    double kl = 0.0;
+    for (int64_t j = 0; j < i; ++j) {
+      const double pj = (p[j] == 0.0) ? eps : (pz ? p[j] - peps1 : p[j]);
+      const double qj = (q[j] == 0.0) ? eps : (qz ? q[j] - qeps1 : q[j]);
+      kl += pj * std::log(pj / qj);
+    }
+    if (kl < best_kl) { best_kl = kl; best_i = i; }
+  }
+  double thr = (static_cast<double>(best_i) + 0.5) * width;
+  return thr < absmax ? thr : absmax;
+}
 
 extern "C" {
 
@@ -113,6 +190,32 @@ int mn_load_cifar_bin(const char* dir, uint8_t* train_images,
   });
   for (auto& t : ts) t.join();
   return err.load();
+}
+
+
+// Batch KL threshold search: counts is n_tensors x bins row-major.
+int mn_kl_thresholds(const double* counts, const double* absmax,
+                     int64_t n_tensors, int64_t bins, int num_quantized_bins,
+                     double* out, int n_threads) {
+  if (n_tensors <= 0 || bins <= 0 || num_quantized_bins <= 0) return 1;
+  int workers = n_threads > 0
+                    ? n_threads
+                    : static_cast<int>(std::thread::hardware_concurrency());
+  if (workers < 1) workers = 1;
+  if (workers > n_tensors) workers = static_cast<int>(n_tensors);
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int64_t t = next.fetch_add(1);
+      if (t >= n_tensors) break;
+      out[t] = kl_one(counts + t * bins, bins, absmax[t], num_quantized_bins);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int w = 1; w < workers; ++w) pool.emplace_back(work);
+  work();
+  for (auto& th : pool) th.join();
+  return 0;
 }
 
 }  // extern "C"

@@ -361,3 +361,35 @@ def test_shard_map_entropy_grid_rescale():
     ta = kl_threshold(ca.astype(np.float64), float(fa.ent_absmax.value))
     tb = kl_threshold(cb.astype(np.float64), float(fb.ent_absmax.value))
     np.testing.assert_allclose(ta, tb, rtol=0.05)
+
+
+def test_native_kl_matches_python():
+    """The C++ KL search (native/micronet_host.cpp::mn_kl_thresholds) must
+    agree with the Python reference on every histogram shape class."""
+    import pytest
+
+    from micronet_tpu.train.native_loader import available, kl_thresholds_batch
+
+    if not available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    hists, maxes = [], []
+    # uniform, gaussian, laplace, spike-at-zero + tail, empty, tiny-mass
+    hists.append(np.full(2048, 7.0)); maxes.append(4.0)
+    g = np.abs(rng.normal(0, 1, 100_000)); m = float(g.max())
+    hists.append(np.histogram(g, bins=2048, range=(0, m))[0].astype(float)); maxes.append(m)
+    l = np.abs(rng.laplace(0, 1, 100_000)); m = float(l.max())
+    hists.append(np.histogram(l, bins=2048, range=(0, m))[0].astype(float)); maxes.append(m)
+    spike = np.zeros(2048); spike[0] = 1e6; spike[-1] = 3.0
+    hists.append(spike); maxes.append(10.0)
+    hists.append(np.zeros(2048)); maxes.append(0.0)
+    tiny = np.zeros(2048); tiny[100] = 1.0
+    hists.append(tiny); maxes.append(1.0)
+
+    counts = np.stack(hists)
+    absmax = np.asarray(maxes)
+    native = kl_thresholds_batch(counts, absmax)
+    assert native is not None
+    for i in range(len(hists)):
+        py = kl_threshold(counts[i], absmax[i])
+        np.testing.assert_allclose(native[i], py, rtol=1e-12, atol=1e-12)
