@@ -169,8 +169,14 @@ def cmd_train(args) -> int:
         ptq_control=args.ptq_control,
         calib_cache=args.calib_cache,
         metrics_path=args.metrics or None,
+        async_checkpoint=args.async_checkpoint,
     )
     trainer = Trainer(qmodel, tcfg)
+    import os as _os
+
+    if args.auto_resume and not args.resume and _os.path.exists(args.save):
+        # preemption-safe restarts: pick up the run's own best checkpoint
+        args.resume = args.save
     if args.resume:
         step, best, _ = load_state(args.resume, qmodel, optimizer=trainer.optimizer)
         trainer.epoch, trainer.best_acc = step + 1, best
@@ -397,6 +403,10 @@ def main(argv=None) -> int:
     pt.add_argument("--save", default="models_save/model.npz")
     pt.add_argument("-sr", dest="sr", action="store_true", help="sparsity train")
     pt.add_argument("--metrics", default="", help="JSONL metrics file (epoch/eval rows)")
+    pt.add_argument("--async_checkpoint", action="store_true",
+                    help="write checkpoints on a background thread")
+    pt.add_argument("--auto_resume", action="store_true",
+                    help="resume from --save if it already exists (preemption-safe restarts)")
     pt.add_argument("--s", type=float, default=1e-4, help="BN L1 lambda")
     _add_quant_flags(pt)
     pt.set_defaults(fn=cmd_train)

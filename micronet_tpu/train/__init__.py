@@ -2,7 +2,7 @@
 pytree checkpoints (reference drivers, SURVEY.md §2.6)."""
 
 from . import checkpoint, data, loop
-from .checkpoint import load_state, save_state
+from .checkpoint import load_state, save_state, save_state_async, wait_for_saves
 from .data import Cifar10, augment_batch, load_cifar10, normalize_batch
 from .loop import TrainConfig, Trainer, lr_at_epoch
 
@@ -11,6 +11,8 @@ __all__ = [
     "data",
     "loop",
     "save_state",
+    "save_state_async",
+    "wait_for_saves",
     "load_state",
     "Cifar10",
     "load_cifar10",

@@ -22,7 +22,14 @@ import jax
 import numpy as np
 from flax import nnx
 
-__all__ = ["save_state", "load_state", "state_to_arrays", "arrays_to_state"]
+__all__ = [
+    "save_state",
+    "save_state_async",
+    "wait_for_saves",
+    "load_state",
+    "state_to_arrays",
+    "arrays_to_state",
+]
 
 
 def _flatten(state: Any) -> Dict[str, np.ndarray]:
@@ -80,6 +87,51 @@ def save_state(
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
+
+
+_PENDING_SAVES: list = []
+
+
+def save_state_async(
+    path: str,
+    model: nnx.Module,
+    *,
+    optimizer: Optional[nnx.Optimizer] = None,
+    step: int = 0,
+    best_acc: float = 0.0,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Non-blocking checkpoint: device->host snapshot happens NOW (so the
+    training loop may mutate state immediately after), the npz compression
+    + disk write run on a background thread. The tmp-file + os.replace
+    protocol keeps the artifact atomic, so a preemption mid-write leaves
+    the previous checkpoint intact. Call :func:`wait_for_saves` before
+    process exit (the Trainer does at the end of fit())."""
+    import threading
+
+    arrays = {f"model/{k}": v for k, v in state_to_arrays(model).items()}
+    if optimizer is not None:
+        arrays.update(
+            {f"opt/{k}": v for k, v in _flatten(nnx.state(optimizer)).items()}
+        )
+    header = json.dumps({"step": step, "best_acc": best_acc, "extra": extra or {}})
+    arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
+
+    def write():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+
+    t = threading.Thread(target=write, daemon=True)
+    t.start()
+    _PENDING_SAVES.append(t)
+
+
+def wait_for_saves() -> None:
+    """Join all outstanding async checkpoint writes."""
+    while _PENDING_SAVES:
+        _PENDING_SAVES.pop().join()
 
 
 def load_state(

@@ -29,7 +29,7 @@ from flax import nnx
 
 from ..nn.modules import eval_mode, train_mode
 from . import data as data_lib
-from .checkpoint import save_state
+from .checkpoint import save_state, save_state_async, wait_for_saves
 
 __all__ = ["TrainConfig", "Trainer", "lr_at_epoch"]
 
@@ -63,6 +63,10 @@ class TrainConfig:
     # JSONL metrics file (utils/metrics.py); None = stdout-only like the
     # reference's print()-based observability (SURVEY.md §5)
     metrics_path: Optional[str] = None
+    # write best-acc checkpoints on a background thread (device->host
+    # snapshot is synchronous; npz compression + disk I/O are not) —
+    # atomic tmp+replace, so preemption mid-write keeps the previous file
+    async_checkpoint: bool = False
     log_every: int = 100
     # rematerialization: recompute activations in the backward pass
     # instead of storing them (jax.checkpoint) — trades ~30% step time for
@@ -276,7 +280,8 @@ class Trainer:
             if acc > self.best_acc:
                 self.best_acc = acc
                 if checkpoint_path:
-                    save_state(
+                    saver = save_state_async if cfg.async_checkpoint else save_state
+                    saver(
                         checkpoint_path,
                         self.model,
                         optimizer=self.optimizer,
@@ -286,4 +291,6 @@ class Trainer:
                     )
                     log(f"saved best checkpoint to {checkpoint_path}")
             self.epoch = epoch + 1
+        if cfg.async_checkpoint:
+            wait_for_saves()
         return self.best_acc

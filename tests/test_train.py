@@ -112,3 +112,36 @@ def test_metrics_jsonl_sink(tmp_path):
     assert {"epoch", "loss", "lr", "img_per_s", "seconds"} <= set(ep)
     ev = next(r for r in rows if r["event"] == "eval")
     assert 0.0 <= ev["acc"] <= 1.0
+
+
+def test_async_checkpoint_and_auto_resume(tmp_path):
+    """async_checkpoint: best-acc saves happen off-thread, the artifact is
+    complete after fit() (wait_for_saves joins), and a second run resumes
+    from it — the preemption-safe restart flow."""
+    from micronet_tpu.train import checkpoint as ckpt_mod
+
+    ds = data.load_cifar10(synthetic_size=64)
+    q = prepare(
+        nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0)),
+        QuantConfig(a_bits=8, w_bits=8),
+        method="dorefa",
+    )
+    M.train_mode(q)
+    path = str(tmp_path / "async.npz")
+    tr = Trainer(
+        q,
+        TrainConfig(batch_size=32, epochs=1, log_every=1000, async_checkpoint=True),
+        ds,
+    )
+    best = tr.fit(epochs=1, checkpoint_path=path, log=lambda s: None)
+    assert not ckpt_mod._PENDING_SAVES  # fit joined the writers
+    assert np.isfinite(best)
+    # resume contract: header round-trips
+    q2 = prepare(
+        nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0)),
+        QuantConfig(a_bits=8, w_bits=8),
+        method="dorefa",
+    )
+    tr2 = Trainer(q2, TrainConfig(batch_size=32, epochs=1), ds)
+    step, best2, _ = load_state(path, q2, optimizer=tr2.optimizer)
+    assert step == 0 and abs(best2 - best) < 1e-9
