@@ -77,7 +77,10 @@ def quant_test_manual() -> None:
 
 
 def quant_test_auto() -> None:
-    """prepare() smoke over every flavor on the stock LeNet."""
+    """prepare() smoke over every flavor on the stock LeNet, plus the
+    serving kit (weight-only int4, int8 KV decoder) and KL calibration."""
+    import jax.numpy as jnp
+
     from .models import LeNet
     from .nn import prepare
     from .quant.config import QuantConfig
@@ -87,9 +90,23 @@ def quant_test_auto() -> None:
         ("iao", QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)),
         ("dorefa", QuantConfig(a_bits=8, w_bits=8)),
         ("wbwtab", QuantConfig(W=2, A=2)),
+        ("iao", QuantConfig(a_bits=8, w_bits=8, ptq=True, ptq_observer="kl")),
     ):
         model = LeNet(rngs=nnx.Rngs(0))
         q = prepare(model, cfg, method=method)
         out = q(_input())
         assert out.shape == (2, 10), (method, out.shape)
+
+    # serving kit smoke: W4-grouped decoder with int8 KV cache
+    from .models.tiny_decoder import TinyDecoder, quantize_decoder
+
+    dec = quantize_decoder(
+        TinyDecoder(vocab=16, dim=16, heads=2, depth=1, mlp_dim=32, max_seq=8,
+                    rngs=nnx.Rngs(0)),
+        group=8,
+    )
+    logits, _ = dec.forward(
+        jnp.zeros((2,), jnp.int32), dec.init_cache(), jnp.int32(0)
+    )
+    assert logits.shape == (2, 16)
     print("micronet_tpu is ready")
