@@ -170,13 +170,33 @@ def cmd_train(args) -> int:
         calib_cache=args.calib_cache,
         metrics_path=args.metrics or None,
         async_checkpoint=args.async_checkpoint,
+        keep_latest=args.auto_resume,
     )
     trainer = Trainer(qmodel, tcfg)
     import os as _os
 
-    if args.auto_resume and not args.resume and _os.path.exists(args.save):
-        # preemption-safe restarts: pick up the run's own best checkpoint
-        args.resume = args.save
+    if args.auto_resume and not args.resume:
+        # preemption-safe restarts: prefer the per-epoch .latest file
+        # (newest step) over the best-acc file, so at most one epoch of
+        # progress is lost
+        def _step_of(p):
+            import json as _json
+
+            import numpy as _np
+
+            try:
+                with _np.load(p) as z:
+                    return _json.loads(bytes(z["__header__"]).decode())["step"]
+            except Exception:
+                return -1
+
+        cands = [
+            p
+            for p in (args.save + ".latest.npz", args.save)
+            if _os.path.exists(p)
+        ]
+        if cands:
+            args.resume = max(cands, key=_step_of)
     if args.resume:
         step, best, _ = load_state(args.resume, qmodel, optimizer=trainer.optimizer)
         trainer.epoch, trainer.best_acc = step + 1, best
@@ -406,7 +426,9 @@ def main(argv=None) -> int:
     pt.add_argument("--async_checkpoint", action="store_true",
                     help="write checkpoints on a background thread")
     pt.add_argument("--auto_resume", action="store_true",
-                    help="resume from --save if it already exists (preemption-safe restarts)")
+                    help="resume from --save (or its .latest sibling, whichever "
+                    "is newer) if present; also writes <save>.latest.npz every "
+                    "epoch (preemption-safe restarts)")
     pt.add_argument("--s", type=float, default=1e-4, help="BN L1 lambda")
     _add_quant_flags(pt)
     pt.set_defaults(fn=cmd_train)

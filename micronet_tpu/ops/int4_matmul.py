@@ -26,6 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "symmetric_rtn",
+    "symmetric_rtn_grouped",
     "quantize_int4_weight",
     "quantize_int4_weight_grouped",
     "pack_int4",
@@ -39,6 +41,31 @@ __all__ = [
 ]
 
 
+def symmetric_rtn(
+    w: jax.Array, qmax: float, axis: int = 0
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared symmetric round-to-nearest: scale = max|w| / qmax over
+    ``axis``, round-half-away codes in [-qmax, qmax] — the one
+    implementation behind int4 (qmax=7) and int8 (qmax=127) weight-only
+    so the rounding/eps semantics can never diverge."""
+    absmax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax / qmax, 1e-8).astype(jnp.float32)
+    q = jnp.sign(w / scale) * jnp.floor(jnp.abs(w / scale) + 0.5)
+    return jnp.clip(q, -qmax, qmax).astype(jnp.int8), scale
+
+
+def symmetric_rtn_grouped(
+    w: jax.Array, qmax: float, group: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Group-wise variant of :func:`symmetric_rtn` over the contraction
+    axis: scales (K/group, N)."""
+    k, n = w.shape
+    assert k % group == 0, (k, group)
+    wg = w.reshape(k // group, group, n)
+    q, scale = symmetric_rtn(wg, qmax, axis=1)
+    return q.reshape(k, n), scale.reshape(k // group, n)
+
+
 def quantize_int4_weight(
     w: jax.Array, axis: int = 0
 ) -> Tuple[jax.Array, jax.Array]:
@@ -47,10 +74,7 @@ def quantize_int4_weight(
 
     Returns (w_q int8 in [-7, 7] (K, N), scale f32 broadcastable (1, N)).
     """
-    absmax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
-    scale = jnp.maximum(absmax / 7.0, 1e-8).astype(jnp.float32)
-    q = jnp.sign(w / scale) * jnp.floor(jnp.abs(w / scale) + 0.5)
-    return jnp.clip(q, -7, 7).astype(jnp.int8), scale
+    return symmetric_rtn(w, 7.0, axis)
 
 
 def pack_int4(w_q: jax.Array) -> jax.Array:
@@ -195,14 +219,7 @@ def quantize_int4_weight_grouped(
     """Symmetric group-wise int4: scale = max|w| / 7 over each ``group``-row
     block of the contraction axis. Returns (w_q int8 (K, N), scale f32
     (K/group, N)). K must be divisible by ``group``."""
-    k, n = w.shape
-    assert k % group == 0, (k, group)
-    wg = w.reshape(k // group, group, n)
-    absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)
-    scale = jnp.maximum(absmax / 7.0, 1e-8).astype(jnp.float32)
-    q = jnp.sign(wg / scale) * jnp.floor(jnp.abs(wg / scale) + 0.5)
-    w_q = jnp.clip(q, -7, 7).astype(jnp.int8).reshape(k, n)
-    return w_q, scale.reshape(k // group, n)
+    return symmetric_rtn_grouped(w, 7.0, group)
 
 
 def _expand_gscale(gscale: jax.Array, group: int) -> jax.Array:

@@ -101,25 +101,17 @@ class WOTensor:
 
 
 def quantize_int8_weight(w: jax.Array, axis: int = 0):
-    """Symmetric per-column int8: scale = max|w| / 127 over ``axis``."""
-    absmax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
-    scale = jnp.maximum(absmax / 127.0, 1e-8).astype(jnp.float32)
-    q = jnp.sign(w / scale) * jnp.floor(jnp.abs(w / scale) + 0.5)
-    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+    """Symmetric per-column int8 (shared RTN core, qmax=127)."""
+    from ..ops.int4_matmul import symmetric_rtn
+
+    return symmetric_rtn(w, 127.0, axis)
 
 
 def quantize_int8_weight_grouped(w: jax.Array, group: int):
-    """Symmetric group-wise int8 (cf. quantize_int4_weight_grouped)."""
-    k, n = w.shape
-    assert k % group == 0, (k, group)
-    wg = w.reshape(k // group, group, n)
-    absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)
-    scale = jnp.maximum(absmax / 127.0, 1e-8).astype(jnp.float32)
-    q = jnp.sign(wg / scale) * jnp.floor(jnp.abs(wg / scale) + 0.5)
-    return (
-        jnp.clip(q, -127, 127).astype(jnp.int8).reshape(k, n),
-        scale.reshape(k // group, n),
-    )
+    """Symmetric group-wise int8 (shared RTN core, qmax=127)."""
+    from ..ops.int4_matmul import symmetric_rtn_grouped
+
+    return symmetric_rtn_grouped(w, 127.0, group)
 
 
 def _quantize_2d(w: jax.Array, group: int = 0, bits: int = 4) -> WOTensor:

@@ -63,6 +63,32 @@ def arrays_to_state(model: nnx.Module, arrays: Dict[str, np.ndarray]) -> None:
     nnx.update(model, jax.tree_util.tree_unflatten(treedef, new_leaves))
 
 
+def _snapshot_arrays(
+    model: nnx.Module,
+    optimizer: Optional[nnx.Optimizer],
+    step: int,
+    best_acc: float,
+    extra: Optional[Dict[str, Any]],
+) -> Dict[str, np.ndarray]:
+    """Device->host snapshot + header, shared by the sync and async
+    writers so the two paths can never produce divergent formats."""
+    arrays = {f"model/{k}": v for k, v in state_to_arrays(model).items()}
+    if optimizer is not None:
+        arrays.update(
+            {f"opt/{k}": v for k, v in _flatten(nnx.state(optimizer)).items()}
+        )
+    header = json.dumps({"step": step, "best_acc": best_acc, "extra": extra or {}})
+    arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
+    return arrays
+
+
+def _write_atomic(path: str, arrays: Dict[str, np.ndarray], tag: str = "") -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp{tag}.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
 def save_state(
     path: str,
     model: nnx.Module,
@@ -74,22 +100,11 @@ def save_state(
 ) -> None:
     """Write a checkpoint. ``extra`` holds JSON-serializable metadata (e.g.
     the pruned-model ``cfg`` list, mirroring normal_regular_prune.py:239)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {f"model/{k}": v for k, v in state_to_arrays(model).items()}
-    if optimizer is not None:
-        arrays.update(
-            {f"opt/{k}": v for k, v in _flatten(nnx.state(optimizer)).items()}
-        )
-    header = json.dumps(
-        {"step": step, "best_acc": best_acc, "extra": extra or {}}
-    )
-    arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **arrays)
-    os.replace(tmp, path)
+    _write_atomic(path, _snapshot_arrays(model, optimizer, step, best_acc, extra))
 
 
-_PENDING_SAVES: list = []
+_PENDING_SAVES: list = []  # (thread, errbox) pairs
+_SAVE_SEQ = [0]
 
 
 def save_state_async(
@@ -103,35 +118,42 @@ def save_state_async(
 ) -> None:
     """Non-blocking checkpoint: device->host snapshot happens NOW (so the
     training loop may mutate state immediately after), the npz compression
-    + disk write run on a background thread. The tmp-file + os.replace
-    protocol keeps the artifact atomic, so a preemption mid-write leaves
-    the previous checkpoint intact. Call :func:`wait_for_saves` before
-    process exit (the Trainer does at the end of fit())."""
+    + disk write run on a background thread. Each writer gets a UNIQUE tmp
+    file and waits for the previous writer before its atomic os.replace,
+    so overlapping saves can neither interleave bytes nor land out of
+    order. Write errors are captured and re-raised by
+    :func:`wait_for_saves` (the Trainer calls it at the end of fit())."""
     import threading
 
-    arrays = {f"model/{k}": v for k, v in state_to_arrays(model).items()}
-    if optimizer is not None:
-        arrays.update(
-            {f"opt/{k}": v for k, v in _flatten(nnx.state(optimizer)).items()}
-        )
-    header = json.dumps({"step": step, "best_acc": best_acc, "extra": extra or {}})
-    arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
+    arrays = _snapshot_arrays(model, optimizer, step, best_acc, extra)
+    prev = _PENDING_SAVES[-1][0] if _PENDING_SAVES else None
+    _SAVE_SEQ[0] += 1
+    tag = f".{_SAVE_SEQ[0]}"
+    errbox: list = []
 
     def write():
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **arrays)
-        os.replace(tmp, path)
+        try:
+            if prev is not None:
+                prev.join()  # keep replace order == save order
+            _write_atomic(path, arrays, tag)
+        except Exception as e:  # surfaced by wait_for_saves
+            errbox.append(e)
 
     t = threading.Thread(target=write, daemon=True)
     t.start()
-    _PENDING_SAVES.append(t)
+    _PENDING_SAVES.append((t, errbox))
 
 
 def wait_for_saves() -> None:
-    """Join all outstanding async checkpoint writes."""
+    """Join all outstanding async checkpoint writes; raise if any failed
+    (a silently-lost checkpoint would defeat preemption safety)."""
+    errors = []
     while _PENDING_SAVES:
-        _PENDING_SAVES.pop().join()
+        t, errbox = _PENDING_SAVES.pop()
+        t.join()
+        errors.extend(errbox)
+    if errors:
+        raise RuntimeError(f"async checkpoint write(s) failed: {errors}")
 
 
 def load_state(

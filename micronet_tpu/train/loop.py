@@ -67,6 +67,9 @@ class TrainConfig:
     # snapshot is synchronous; npz compression + disk I/O are not) —
     # atomic tmp+replace, so preemption mid-write keeps the previous file
     async_checkpoint: bool = False
+    # additionally write <save>.latest.npz EVERY epoch (not just on best
+    # accuracy) so preemption restarts lose at most one epoch
+    keep_latest: bool = False
     log_every: int = 100
     # rematerialization: recompute activations in the backward pass
     # instead of storing them (jax.checkpoint) — trades ~30% step time for
@@ -277,10 +280,10 @@ class Trainer:
             self.metrics.log(
                 "eval", epoch=epoch, acc=acc, best_acc=max(acc, self.best_acc)
             )
+            saver = save_state_async if cfg.async_checkpoint else save_state
             if acc > self.best_acc:
                 self.best_acc = acc
                 if checkpoint_path:
-                    saver = save_state_async if cfg.async_checkpoint else save_state
                     saver(
                         checkpoint_path,
                         self.model,
@@ -290,6 +293,15 @@ class Trainer:
                         extra=checkpoint_extra,
                     )
                     log(f"saved best checkpoint to {checkpoint_path}")
+            if checkpoint_path and cfg.keep_latest:
+                saver(
+                    checkpoint_path + ".latest.npz",
+                    self.model,
+                    optimizer=self.optimizer,
+                    step=epoch,
+                    best_acc=self.best_acc,
+                    extra=checkpoint_extra,
+                )
             self.epoch = epoch + 1
         if cfg.async_checkpoint:
             wait_for_saves()

@@ -69,16 +69,23 @@ if _lib is not None:
     ]
     _lib.mn_load_cifar_bin.restype = ctypes.c_int
     _lib.mn_load_cifar_bin.argtypes = [ctypes.c_char_p] + [ctypes.c_void_p] * 4
-    _lib.mn_kl_thresholds.restype = ctypes.c_int
-    _lib.mn_kl_thresholds.argtypes = [
-        ctypes.c_void_p,
-        ctypes.c_void_p,
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int,
-        ctypes.c_void_p,
-        ctypes.c_int,
-    ]
+    # symbol may be absent from an older prebuilt library
+    # (MICRONET_HOST_LIB override): degrade to the Python KL search
+    # instead of failing the whole module import
+    _HAS_KL = hasattr(_lib, "mn_kl_thresholds")
+    if _HAS_KL:
+        _lib.mn_kl_thresholds.restype = ctypes.c_int
+        _lib.mn_kl_thresholds.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+else:
+    _HAS_KL = False
 
 
 def available() -> bool:
@@ -119,7 +126,7 @@ def kl_thresholds_batch(
     """Parallel KL threshold search over a batch of histograms
     (native/micronet_host.cpp::mn_kl_thresholds); None when the native
     library is unavailable (caller falls back to the Python search)."""
-    if _lib is None:
+    if _lib is None or not _HAS_KL:
         return None
     counts = np.ascontiguousarray(counts, np.float64)
     absmax = np.ascontiguousarray(absmax, np.float64)

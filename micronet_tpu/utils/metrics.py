@@ -12,8 +12,11 @@ One row per event::
      "img_per_s": 5891.2, "seconds": 12.4}
     {"event": "eval", "epoch": 3, "acc": 0.874, "best_acc": 0.881}
 
-Rows carry no wall-clock timestamps by default (deterministic tests);
-pass ``stamp=True`` to add ``time.time()``.
+Files are APPEND-only: a preemption restart (``--auto_resume``) keeps
+the pre-preemption history and adds a ``run_start`` marker row, so
+dashboards see one continuous run. Rows carry no wall-clock timestamps
+by default (deterministic tests); pass ``stamp=True`` to add
+``time.time()``.
 """
 
 from __future__ import annotations
@@ -32,8 +35,8 @@ class MetricsLogger:
         self.path = path
         self.stamp = stamp
         if path:
-            # truncate: one file per run, like a TRT build log
-            open(path, "w").close()
+            # append-only: restarts must not wipe pre-preemption rows
+            self.log("run_start")
 
     def log(self, event: str, **fields) -> None:
         if not self.path:
