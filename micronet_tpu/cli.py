@@ -171,6 +171,7 @@ def cmd_train(args) -> int:
         metrics_path=args.metrics or None,
         async_checkpoint=args.async_checkpoint,
         keep_latest=args.auto_resume,
+        grad_accum=args.grad_accum,
     )
     trainer = Trainer(qmodel, tcfg)
     import os as _os
@@ -423,6 +424,8 @@ def main(argv=None) -> int:
     pt.add_argument("--save", default="models_save/model.npz")
     pt.add_argument("-sr", dest="sr", action="store_true", help="sparsity train")
     pt.add_argument("--metrics", default="", help="JSONL metrics file (epoch/eval rows)")
+    pt.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches per optimizer step (memory-limited training)")
     pt.add_argument("--async_checkpoint", action="store_true",
                     help="write checkpoints on a background thread")
     pt.add_argument("--auto_resume", action="store_true",

@@ -75,6 +75,12 @@ class TrainConfig:
     # instead of storing them (jax.checkpoint) — trades ~30% step time for
     # O(depth) less activation memory; for models that do not fit HBM
     remat: bool = False
+    # gradient accumulation: split each batch into N microbatches inside
+    # the jit, average the grads, one optimizer update — the other half of
+    # the memory toolkit (activation footprint scales with batch/N).
+    # Observers/BN update per microbatch (the semantics of training at the
+    # smaller batch); the loss gradient equals the full-batch one.
+    grad_accum: int = 1
 
 
 class Trainer:
@@ -121,25 +127,48 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.seed)
 
         use_remat = cfg.remat
+        accum = max(int(cfg.grad_accum), 1)
+
+        def _loss_of(model, x, labels):
+            if use_remat:
+                logits = nnx.remat(lambda m, xx: m(xx))(model, x)
+            else:
+                logits = model(x)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+            return loss, logits
 
         @nnx.jit
         def _train_step(model, optimizer, key, images_u8, labels):
             x = data_lib.augment_batch(key, images_u8)
-
-            def loss_fn(model):
-                if use_remat:
-                    logits = nnx.remat(lambda m, xx: m(xx))(model, x)
-                else:
-                    logits = model(x)
-                loss = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, labels
-                ).mean()
-                return loss, logits
-
-            (loss, logits), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+            if accum == 1:
+                (loss, logits), grads = nnx.value_and_grad(
+                    _loss_of, has_aux=True
+                )(model, x, labels)
+                optimizer.update(model, grads)
+                acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+                return loss, acc
+            # static unroll over microbatches: observer/BN mutations thread
+            # sequentially through the nnx state; grads average
+            n = x.shape[0] - (x.shape[0] % accum)
+            xs = x[:n].reshape(accum, -1, *x.shape[1:])
+            ys = labels[:n].reshape(accum, -1)
+            grads_sum, loss_sum, correct = None, 0.0, 0.0
+            for i in range(accum):
+                (loss_i, logits_i), g = nnx.value_and_grad(
+                    _loss_of, has_aux=True
+                )(model, xs[i], ys[i])
+                grads_sum = (
+                    g
+                    if grads_sum is None
+                    else jax.tree.map(jnp.add, grads_sum, g)
+                )
+                loss_sum = loss_sum + loss_i
+                correct = correct + jnp.sum(jnp.argmax(logits_i, -1) == ys[i])
+            grads = jax.tree.map(lambda a: a / accum, grads_sum)
             optimizer.update(model, grads)
-            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
-            return loss, acc
+            return loss_sum / accum, correct / n
 
         @nnx.jit
         def _forward_step(model, key, images_u8, labels):

@@ -145,3 +145,35 @@ def test_async_checkpoint_and_auto_resume(tmp_path):
     tr2 = Trainer(q2, TrainConfig(batch_size=32, epochs=1), ds)
     step, best2, _ = load_state(path, q2, optimizer=tr2.optimizer)
     assert step == 0 and abs(best2 - best) < 1e-9
+
+
+def test_grad_accum_matches_full_batch_gradients():
+    """grad_accum=4: the averaged microbatch gradient step tracks the
+    full-batch step (identical loss gradient; observer updates differ only
+    by per-microbatch granularity), and training still learns."""
+    ds = data.load_cifar10(synthetic_size=64)
+
+    def run(accum):
+        q = prepare(
+            nin.Net(cfg=[4] * 8, rngs=nnx.Rngs(0)),
+            QuantConfig(a_bits=8, w_bits=8),
+            method="dorefa",  # stateless quantizers: grads match exactly
+        )
+        M.train_mode(q)
+        tr = Trainer(
+            q,
+            TrainConfig(batch_size=32, epochs=1, log_every=1000, grad_accum=accum),
+            ds,
+        )
+        loss = tr.train_epoch(0, log=lambda s: None)
+        return loss, q
+
+    l1, q1 = run(1)
+    l4, q4 = run(4)
+    assert np.isfinite(l1) and np.isfinite(l4)
+    # DoReFa has no observer state: parameter trajectories match closely
+    for a, b in zip(
+        jax.tree.leaves(nnx.state(q1, nnx.Param)),
+        jax.tree.leaves(nnx.state(q4, nnx.Param)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
