@@ -27,6 +27,10 @@ def _from_nchw(y):
     return y.detach().permute(0, 2, 3, 1).numpy()
 
 
+def _hwio(w_oihw):
+    return jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+
+
 def test_quant_conv_transpose2d_parity():
     rng = np.random.RandomState(0)
     x = rng.randn(2, 4, 8, 8).astype(np.float32)
@@ -156,3 +160,60 @@ def test_quant_concat_union_scale():
     s = float(cat.activation_quantizer.scale.value[0])
     grid = np.asarray(out) / s
     np.testing.assert_allclose(grid, np.round(grid), atol=1e-3)
+
+
+def test_quant_conv2d_parity_randomized_sweep():
+    """Property-style sweep: random (bits, q_type, q_level, observer,
+    shape, seed) configs, 3 train steps + eval vs the torch reference —
+    broadens the fixed parametrized parity cases with randomized corners
+    (deterministic seed)."""
+    rng = np.random.RandomState(2024)
+    for trial in range(8):
+        a_bits, w_bits = int(rng.choice([4, 6, 8, 16])), int(rng.choice([4, 8]))
+        q_type = int(rng.randint(2))
+        q_level = int(rng.randint(2))
+        weight_observer = int(rng.randint(2))
+        cin, cout, k = int(rng.choice([3, 4])), int(rng.choice([5, 6])), 3
+        scale_in = float(rng.choice([0.5, 1.0, 4.0]))
+
+        x = (rng.randn(2, cin, 7, 7) * scale_in).astype(np.float32)
+        w = rng.randn(cout, cin, k, k).astype(np.float32)
+        b = rng.randn(cout).astype(np.float32)
+
+        ref = ref_iao.QuantConv2d(
+            cin, cout, k, padding=1, bias=True,
+            a_bits=a_bits, w_bits=w_bits, q_type=q_type, q_level=q_level,
+            weight_observer=weight_observer,
+        )
+        with torch.no_grad():
+            ref.weight.copy_(torch.tensor(w))
+            ref.bias.copy_(torch.tensor(b))
+        ref.train()
+
+        cfg = QuantConfig(
+            a_bits=a_bits, w_bits=w_bits, q_type=q_type, q_level=q_level,
+            weight_observer=weight_observer,
+        )
+        ours = qat_iao.QuantConv2d(
+            cin, cout, k, padding=1, bias=True, cfg=cfg, rngs=nnx.Rngs(0)
+        )
+        ours.weight.value = _hwio(w)
+        ours.bias.value = jnp.asarray(b)
+
+        tol = 2e-4 * max(scale_in, 1.0)
+        for step in range(3):
+            xi = (rng.randn(2, cin, 7, 7) * scale_in).astype(np.float32) if step else x
+            y_ref = ref(torch.tensor(xi))
+            y_ours = ours(_nhwc(xi))
+        np.testing.assert_allclose(
+            np.asarray(y_ours), _from_nchw(y_ref), atol=tol,
+            err_msg=f"trial {trial}: a{a_bits} w{w_bits} t{q_type} "
+                    f"l{q_level} o{weight_observer} s{scale_in}",
+        )
+        ref.eval()
+        M.eval_mode(ours)
+        xe = (rng.randn(2, cin, 7, 7) * scale_in).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(ours(_nhwc(xe))), _from_nchw(ref(torch.tensor(xe))),
+            atol=tol,
+        )
