@@ -1,6 +1,7 @@
 """Mesh parallelism: data-parallel QAT with auto-reduced observers/BN
 stats, channel tensor parallelism (SURVEY.md §2.9 TPU-native column)."""
 
+from .pipeline import pipeline_apply, stack_stage_params
 from .distributed import dp_shard_map_step, initialize
 from .sharding import (
     channel_sharding_for,
@@ -11,6 +12,8 @@ from .sharding import (
 )
 
 __all__ = [
+    "pipeline_apply",
+    "stack_stage_params",
     "initialize",
     "dp_shard_map_step",
     "make_mesh",

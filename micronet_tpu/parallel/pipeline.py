@@ -1,0 +1,100 @@
+"""Pipeline parallelism (GPipe-style) over a ``stage`` mesh axis.
+
+Net-new vs the reference (SURVEY.md §2.9: no PP anywhere) and the last
+of the classic parallelism modes next to dp/tp. TPU-first design:
+
+- The model is S sequential STAGES; each device along the ``stage`` mesh
+  axis holds only its stage's parameters (stacked pytree, leading stage
+  dim sharded on the axis).
+- Inside ``shard_map``, a ``lax.scan`` over ``n_micro + S - 1`` ticks
+  drives the classic pipeline schedule: every tick each device applies
+  its stage to the activation received on the previous tick and passes
+  the result to the next device with ``lax.ppermute`` (ICI
+  neighbor-exchange; no all-to-all).
+- Backward needs NO hand scheduling: ``ppermute`` has a transpose rule,
+  so ``jax.grad`` through the scan yields the reverse pipeline
+  automatically (cotangents flow stage S-1 -> 0 with reversed permutes).
+
+The bubble fraction is the usual (S-1)/(n_micro+S-1); choose
+``n_micro >> S``. Microbatches are the leading dim of ``x``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["pipeline_apply", "stack_stage_params"]
+
+
+def stack_stage_params(params_list):
+    """Stack S per-stage parameter pytrees into one pytree with a leading
+    stage dim (shard it on the ``stage`` axis). All stages must share a
+    parameter structure — the usual equal-blocks pipeline regime."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    x: jax.Array,  # (n_micro, micro_batch, ...) microbatched input
+    mesh: Mesh,
+    axis: str = "stage",
+):
+    """Run ``stage_fn`` as an S-stage pipeline over the mesh axis.
+
+    ``stage_fn(stage_params, h) -> h`` must keep the activation shape
+    (equal-blocks pipeline). Returns the final-stage outputs with the
+    same leading (n_micro, micro_batch) dims as ``x``.
+
+    Semantics match ``fold(stage_fn, stages)(x)`` exactly; only the
+    schedule is parallel. Differentiable end to end (GPipe backward via
+    AD through ppermute).
+    """
+    s = mesh.shape[axis]
+    n_micro = x.shape[0]
+    perm = [(i, (i + 1) % s) for i in range(s)]
+
+    def shard_fn(params, xs):
+        # params: this device's stage params (leading stage dim of size 1)
+        params = jax.tree.map(lambda a: a[0], params)
+        idx = jax.lax.axis_index(axis)
+        n_ticks = n_micro + s - 1
+        zero = jnp.zeros_like(xs[0])
+
+        def tick(carry, t):
+            recv = carry
+            # stage 0 ingests microbatch t (while available), others take
+            # the neighbor's activation from the previous tick
+            x_in = jax.lax.dynamic_index_in_dim(
+                xs, jnp.minimum(t, n_micro - 1), keepdims=False
+            )
+            x0 = jnp.where(t < n_micro, 1.0, 0.0).astype(x_in.dtype) * x_in
+            h_in = jnp.where(idx == 0, x0, recv)
+            h_out = stage_fn(params, h_in)
+            nxt = jax.lax.ppermute(h_out, axis, perm)
+            # last stage emits microbatch t-(s-1) at tick t
+            return nxt, h_out
+
+        _, outs = jax.lax.scan(tick, zero, jnp.arange(n_ticks))
+        # outs: (n_ticks, micro, ...) per device; the LAST stage's outputs
+        # for ticks [s-1, s-1+n_micro) are the pipeline result. Select via
+        # where so every device returns the same shape; psum over the
+        # stage axis gathers the last stage's contribution.
+        result = outs[s - 1 : s - 1 + n_micro]
+        is_last = (idx == (s - 1)).astype(result.dtype)
+        return jax.lax.psum(result * is_last, axis)
+
+    from jax.experimental.shard_map import shard_map
+
+    stage_spec = jax.tree.map(lambda _: P(axis), stacked_params)
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(stage_spec, P()),
+        out_specs=P(),
+        check_rep=False,
+    )(stacked_params, x)
