@@ -1,8 +1,9 @@
 """Mesh parallelism: data-parallel QAT with auto-reduced observers/BN
-stats, channel tensor parallelism (SURVEY.md §2.9 TPU-native column)."""
+stats, channel tensor parallelism, GPipe-style pipeline parallelism
+(SURVEY.md §2.9 TPU-native column)."""
 
-from .pipeline import pipeline_apply, stack_stage_params
 from .distributed import dp_shard_map_step, initialize
+from .pipeline import pipeline_apply, stack_stage_params
 from .sharding import (
     channel_sharding_for,
     make_mesh,
