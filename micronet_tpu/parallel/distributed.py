@@ -70,7 +70,7 @@ def dp_shard_map_step(
     explicit-collective contract (the reference's DataParallel had no
     sync at all — SURVEY.md §2.9).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def _names(path):
         return [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
@@ -141,7 +141,7 @@ def dp_shard_map_step(
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis)),
             out_specs=(P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )(state, x, y)
 
     return step

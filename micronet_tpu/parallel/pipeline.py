@@ -88,7 +88,7 @@ def pipeline_apply(
         is_last = (idx == (s - 1)).astype(result.dtype)
         return jax.lax.psum(result * is_last, axis)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     stage_spec = jax.tree.map(lambda _: P(axis), stacked_params)
     return shard_map(
@@ -96,5 +96,5 @@ def pipeline_apply(
         mesh=mesh,
         in_specs=(stage_spec, P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(stacked_params, x)

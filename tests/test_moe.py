@@ -1,0 +1,127 @@
+"""Expert-parallel MoE (parallel/moe.py) — net-new vs the reference
+(SURVEY.md §2.9: no EP anywhere), completing dp/tp/pp/ep. The dense
+single-device forward is the oracle; the EP shard_map path over an
+8-device 'expert' mesh must match it in values AND gradients, for float
+and int8 weight-only experts alike."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from micronet_tpu.parallel.moe import (
+    init_moe,
+    load_balance_loss,
+    moe_apply,
+    moe_apply_ep,
+    quantize_moe,
+)
+
+DIM, MLP, E, T = 16, 32, 8, 24
+
+
+def _mesh(ep=8):
+    return Mesh(np.array(jax.devices()[:ep]), ("expert",))
+
+
+def _setup(seed=0):
+    params = init_moe(DIM, MLP, E, jax.random.PRNGKey(seed))
+    x = jax.random.normal(jax.random.PRNGKey(seed + 100), (T, DIM), jnp.float32)
+    return params, x
+
+
+def test_ep_matches_dense_forward():
+    params, x = _setup()
+    y_dense = moe_apply(params, x, capacity_factor=2.0)
+    y_ep = moe_apply_ep(params, x, _mesh(), capacity_factor=2.0)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense), atol=1e-5)
+
+
+def test_ep_matches_dense_with_fewer_devices_than_experts():
+    params, x = _setup(1)
+    y_dense = moe_apply(params, x, capacity_factor=2.0)
+    y_ep = moe_apply_ep(params, x, _mesh(ep=4), capacity_factor=2.0)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense), atol=1e-5)
+
+
+def test_ep_gradients_match_dense():
+    params, x = _setup(2)
+    mesh = _mesh()
+    tgt = jax.random.normal(jax.random.PRNGKey(7), (T, DIM))
+
+    def loss_dense(p, xi):
+        return jnp.mean((moe_apply(p, xi, 2.0) - tgt) ** 2)
+
+    def loss_ep(p, xi):
+        return jnp.mean((moe_apply_ep(p, xi, mesh, capacity_factor=2.0) - tgt) ** 2)
+
+    gd, gxd = jax.grad(loss_dense, argnums=(0, 1))(params, x)
+    ge, gxe = jax.grad(loss_ep, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(ge), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxe), np.asarray(gxd), atol=1e-5)
+
+
+def test_capacity_drops_overflow_tokens():
+    """All tokens routed to one expert + capacity 1 token/expert: exactly
+    one token produces output, the rest are dropped to zero (GShard
+    contract — the residual connection carries dropped tokens)."""
+    params, x = _setup(3)
+    x = jnp.abs(x) + 0.1  # positive coords so the rigged logit is positive
+    # rig the router: expert 0 wins for every token
+    router = jnp.zeros_like(params.router).at[:, 0].set(1.0)
+    params = params.replace(router=router)
+    y = moe_apply(params, x, capacity_factor=E / T)  # capacity = 1
+    nonzero_rows = np.abs(np.asarray(y)).max(axis=1) > 0
+    assert nonzero_rows.sum() == 1, nonzero_rows.sum()
+    assert nonzero_rows[0]  # cumsum order: the first token takes the slot
+
+
+def test_quantized_ep_matches_quantized_dense():
+    params, x = _setup(4)
+    qp = quantize_moe(params)
+    assert qp.w_up.dtype == jnp.int8 and qp.down_scale is not None
+    y_dense = moe_apply(qp, x, 2.0)
+    y_ep = moe_apply_ep(qp, x, _mesh(), capacity_factor=2.0)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense), atol=1e-5)
+    # int8 RTN stays close to the float experts
+    y_f = moe_apply(params, x, 2.0)
+    err = np.abs(np.asarray(y_dense) - np.asarray(y_f)).max()
+    ref = np.abs(np.asarray(y_f)).max()
+    assert err < 0.05 * ref, (err, ref)
+
+
+def test_load_balance_loss_bounds():
+    """Uniform routing minimizes the aux loss at ~1; collapsed routing
+    drives it toward E."""
+    k = jax.random.PRNGKey(0)
+    uniform = jax.random.normal(k, (256, E)) * 1e-3
+    collapsed = jnp.zeros((256, E)).at[:, 0].set(10.0)
+    lu = float(load_balance_loss(uniform))
+    lc = float(load_balance_loss(collapsed))
+    assert 0.9 < lu < 1.3, lu
+    assert lc > 0.9 * E, lc
+
+
+def test_moe_trains_dense_and_ep_identically():
+    """A few SGD steps through dense and EP losses keep parameters in
+    lockstep — EP is a scheduling change, not a semantics change."""
+    params, x = _setup(5)
+    mesh = _mesh()
+    tgt = jax.random.normal(jax.random.PRNGKey(9), (T, DIM))
+
+    def mk_loss(apply):
+        def loss(p):
+            return jnp.mean((apply(p) - tgt) ** 2)
+
+        return loss
+
+    ld = mk_loss(lambda p: moe_apply(p, x, 2.0))
+    le = mk_loss(lambda p: moe_apply_ep(p, x, mesh, capacity_factor=2.0))
+    pd = pe = params
+    for _ in range(3):
+        pd = jax.tree.map(lambda w, g: w - 0.1 * g, pd, jax.grad(ld)(pd))
+        pe = jax.tree.map(lambda w, g: w - 0.1 * g, pe, jax.grad(le)(pe))
+    for a, b in zip(jax.tree.leaves(pe), jax.tree.leaves(pd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    assert float(ld(pd)) < float(ld(params))
