@@ -275,9 +275,16 @@ def _kernel_grouped(x_ref, wp_ref, gscale_ref, out_ref, *, group):
     low = jnp.where(ulow >= 8.0, ulow - 16.0, ulow)
     high = jnp.where(uhigh >= 8.0, uhigh - 16.0, uhigh)
     k2 = low.shape[0]
-    scale = _expand_gscale(gscale_ref[:], group)  # (K, bn) f32 in VMEM
-    wlow = (low * scale[:k2]).astype(jnp.bfloat16)
-    whigh = (high * scale[k2:]).astype(jnp.bfloat16)
+    gs_half = k2 // group
+    # expand each packed half's scales separately: peak live scale tensor
+    # is (K/2, bn) f32, not (K, bn) — this + the bn budget below keeps the
+    # kernel inside the 16 MiB scoped-VMEM limit at Llama shapes
+    wlow = (low * _expand_gscale(gscale_ref[:gs_half], group)).astype(
+        jnp.bfloat16
+    )
+    whigh = (high * _expand_gscale(gscale_ref[gs_half:], group)).astype(
+        jnp.bfloat16
+    )
     x = x_ref[:].astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
     out_ref[:] = jax.lax.dot_general(
@@ -316,6 +323,11 @@ def int4_matmul_grouped(
     )
     bm = min(bm, -(-m // 16) * 16)
     bn = min(bn, -(-n // 128) * 128)
+    # scoped-VMEM budget: the dequant temporaries + per-half scale
+    # expansion cost ~28 bytes per (K/2, bn) element (measured on v5e);
+    # shrink bn until the kernel fits the 16 MiB limit with headroom
+    while bn > 128 and 28 * k2 * bn > 15 * 2**20:
+        bn //= 2
     mp = -(-m // bm) * bm
     np_ = -(-n // bn) * bn
     if mp != m:
