@@ -25,10 +25,11 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..nn.modules import Linear, OrderedModule
+from ..parallel.moe import MoEParams, init_moe, moe_apply, quantize_moe
 from ..quant.kv_cache import QuantKVCache, append_kv, attend, init_kv_cache
 from ..quant.weight_only import wo_quantize_linear
 
-__all__ = ["TinyDecoder", "quantize_decoder"]
+__all__ = ["TinyDecoder", "MoEMLP", "quantize_decoder"]
 
 
 class RMSNorm(OrderedModule):
@@ -40,8 +41,68 @@ class RMSNorm(OrderedModule):
         return (x * jax.lax.rsqrt(ms + 1e-6) * self.weight.value).astype(x.dtype)
 
 
+class MoEMLP(OrderedModule):
+    """Top-1 MoE MLP block (nnx wrapper over ``parallel/moe``): dense
+    single-device compute here; the EP shard_map path
+    (:func:`micronet_tpu.parallel.moe_apply_ep`) consumes the same
+    :class:`MoEParams` when serving over an ``expert`` mesh axis."""
+
+    def __init__(
+        self,
+        dim: int,
+        mlp_dim: int,
+        n_experts: int,
+        capacity_factor: float = 0.0,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        # serving default is DROP-FREE (capacity == T, cf = E): token t's
+        # output must not depend on which other tokens share the forward
+        # pass, or prefill and incremental decode would disagree. Training
+        # can pass a finite cf (e.g. 1.25) for the classic GShard regime.
+        if not capacity_factor:
+            capacity_factor = float(n_experts)
+        p = init_moe(dim, mlp_dim, n_experts, rngs.params())
+        self.router = nnx.Param(p.router)
+        self.w_up = nnx.Param(p.w_up)
+        self.w_down = nnx.Param(p.w_down)
+        self.up_scale = None
+        self.down_scale = None
+        self.capacity_factor = capacity_factor
+
+    def params(self) -> MoEParams:
+        return MoEParams(
+            router=self.router.value,
+            w_up=self.w_up.value,
+            w_down=self.w_down.value,
+            up_scale=None if self.up_scale is None else self.up_scale.value,
+            down_scale=None if self.down_scale is None else self.down_scale.value,
+        )
+
+    def quantize_(self) -> None:
+        """In-place int8 weight-only expert conversion (serving)."""
+        qp = quantize_moe(self.params())
+        self.w_up = nnx.Variable(qp.w_up)
+        self.w_down = nnx.Variable(qp.w_down)
+        # nnx.data: these attrs were initialized as (static) None, so the
+        # first data assignment must override the static marking
+        self.up_scale = nnx.data(nnx.Variable(qp.up_scale))
+        self.down_scale = nnx.data(nnx.Variable(qp.down_scale))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return moe_apply(self.params(), x, self.capacity_factor)
+
+
 class DecoderBlock(OrderedModule):
-    def __init__(self, dim: int, heads: int, mlp_dim: int, *, rngs: nnx.Rngs):
+    def __init__(
+        self,
+        dim: int,
+        heads: int,
+        mlp_dim: int,
+        *,
+        moe_experts: int = 0,
+        rngs: nnx.Rngs,
+    ):
         assert dim % heads == 0
         self.heads = heads
         self.head_dim = dim // heads
@@ -51,8 +112,12 @@ class DecoderBlock(OrderedModule):
         self.wv = Linear(dim, dim, bias=False, rngs=rngs)
         self.wo = Linear(dim, dim, bias=False, rngs=rngs)
         self.norm2 = RMSNorm(dim)
-        self.up = Linear(dim, mlp_dim, bias=False, rngs=rngs)
-        self.down = Linear(mlp_dim, dim, bias=False, rngs=rngs)
+        if moe_experts:
+            self.moe = MoEMLP(dim, mlp_dim, moe_experts, rngs=rngs)
+        else:
+            self.moe = None
+            self.up = Linear(dim, mlp_dim, bias=False, rngs=rngs)
+            self.down = Linear(mlp_dim, dim, bias=False, rngs=rngs)
 
     def _split(self, x: jax.Array) -> jax.Array:
         t, _ = x.shape
@@ -71,7 +136,10 @@ class DecoderBlock(OrderedModule):
         att = att.transpose(1, 0, 2).reshape(x.shape[0], -1)
         x = x + self.wo(att)
         h2 = self.norm2(x)
-        x = x + self.down(jax.nn.gelu(self.up(h2)))
+        if self.moe is not None:
+            x = x + self.moe(h2)
+        else:
+            x = x + self.down(jax.nn.gelu(self.up(h2)))
         return x, cache
 
 
@@ -86,6 +154,7 @@ class TinyDecoder(OrderedModule):
         depth: int = 2,
         mlp_dim: int = 128,
         max_seq: int = 64,
+        moe_experts: int = 0,
         *,
         rngs: nnx.Rngs,
     ):
@@ -99,7 +168,10 @@ class TinyDecoder(OrderedModule):
             jax.random.normal(jax.random.fold_in(key, 1), (max_seq, dim)) * 0.02
         )
         self.blocks = nnx.List(
-            [DecoderBlock(dim, heads, mlp_dim, rngs=rngs) for _ in range(depth)]
+            [
+                DecoderBlock(dim, heads, mlp_dim, moe_experts=moe_experts, rngs=rngs)
+                for _ in range(depth)
+            ]
         )
         self.norm = RMSNorm(dim)
         self.lm_head = Linear(dim, vocab, bias=False, rngs=rngs)
@@ -171,11 +243,17 @@ def quantize_decoder(
     model: TinyDecoder, group: int = 0, bits: int = 4
 ) -> TinyDecoder:
     """Swap every block Linear (attention projections + MLP) for
-    weight-only int4/int8 — the serving conversion. The embedding,
+    weight-only int4/int8 — the serving conversion. MoE blocks quantize
+    their experts to int8 (per-expert per-column scales). The embedding,
     positional table, norms, and lm_head stay float (standard practice)."""
     for blk in model.blocks:
-        for name in ("wq", "wk", "wv", "wo", "up", "down"):
+        names = ("wq", "wk", "wv", "wo") if blk.moe is not None else (
+            "wq", "wk", "wv", "wo", "up", "down"
+        )
+        for name in names:
             setattr(
                 blk, name, wo_quantize_linear(getattr(blk, name), group, bits)
             )
+        if blk.moe is not None:
+            blk.moe.quantize_()
     return model

@@ -125,3 +125,58 @@ def test_moe_trains_dense_and_ep_identically():
     for a, b in zip(jax.tree.leaves(pe), jax.tree.leaves(pd)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     assert float(ld(pd)) < float(ld(params))
+
+
+def test_moe_decoder_prefill_decode_consistency():
+    """TinyDecoder(moe_experts=4): prefill of [t0..t3] then decode t4 ==
+    full prefill (drop-free serving capacity keeps routing per-token)."""
+    from flax import nnx
+
+    from micronet_tpu.models.tiny_decoder import TinyDecoder
+
+    m = TinyDecoder(vocab=64, dim=32, heads=2, depth=2, mlp_dim=64,
+                    max_seq=16, moe_experts=4, rngs=nnx.Rngs(0))
+    toks = jnp.asarray([3, 14, 15, 9, 26], jnp.int32)
+    logits_full, _ = m.forward(toks, m.init_cache(), jnp.int32(0))
+    _, caches = m.forward(toks[:4], m.init_cache(), jnp.int32(0))
+    l5, _ = m.forward(toks[4:], caches, jnp.int32(4))
+    np.testing.assert_allclose(
+        np.asarray(l5[0]), np.asarray(logits_full[-1]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_moe_decoder_quantized_tracks_float():
+    """quantize_decoder on an MoE decoder: int4 attention + int8 experts
+    stay close to the float model; generation runs end to end."""
+    from flax import nnx
+
+    from micronet_tpu.models.tiny_decoder import TinyDecoder, quantize_decoder
+
+    kwargs = dict(vocab=64, dim=64, heads=4, depth=2, mlp_dim=128,
+                  max_seq=16, moe_experts=4)
+    mf = TinyDecoder(**kwargs, rngs=nnx.Rngs(0))
+    toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    lf, _ = mf.forward(toks, mf.init_cache(), jnp.int32(0))
+    lf = np.asarray(lf)
+
+    def cos_to_float(m):
+        lq, _ = m.forward(toks, m.init_cache(), jnp.int32(0))
+        lq = np.asarray(lq)
+        return float((lf * lq).sum() / (np.linalg.norm(lf) * np.linalg.norm(lq)))
+
+    # experts-only int8: routing inputs untouched, logits stay tight
+    me = TinyDecoder(**kwargs, rngs=nnx.Rngs(0))
+    for blk in me.blocks:
+        blk.moe.quantize_()
+    assert me.blocks[0].moe.w_up.value.dtype == jnp.int8
+    assert cos_to_float(me) > 0.99
+
+    # full serving conversion (W4 attention + int8 experts): the quantized
+    # attention perturbs the router input, so a token may flip its top-1
+    # expert — on an untrained random model that flip is an uncorrelated
+    # output swap, hence the looser bound (real MoE serving accepts this;
+    # trained experts are correlated, so flips cost far less)
+    mq = quantize_decoder(TinyDecoder(**kwargs, rngs=nnx.Rngs(0)), group=32)
+    assert cos_to_float(mq) > 0.9
+    out = mq.generate(toks, steps=4)
+    assert out.shape == (4,) and int(out.max()) < 64
