@@ -165,11 +165,11 @@ def _bench_int4(detail):
     wb = w.astype(jnp.bfloat16)
 
     sec_bf16 = per_step_seconds(
-        lambda s, xi: xi @ s, wb, x, iters=64
+        lambda s, xi: xi @ s, wb, x, iters=256
     )
     sec_int4 = per_step_seconds(
         lambda s, xi: int4_matmul(xi, s[0], s[1]), (packed, scale.reshape(-1)), x,
-        iters=64,
+        iters=256,
     )
     detail.update(
         int4_w4a16_us=round(sec_int4 * 1e6, 1),
@@ -210,7 +210,7 @@ def _bench_llm_decode(detail):
     cache = append_kv(cache, fk, fv)
     sec_q = per_step_seconds(
         lambda s, xi: mod.decode_step_w4(s[0], s[1], xi)[0], (params, cache), x,
-        iters=32,
+        iters=256,
     )
     wsb = {n: w.astype(jnp.bfloat16) for n, w in ws.items()}
     sec_b = per_step_seconds(
@@ -219,7 +219,7 @@ def _bench_llm_decode(detail):
         ),
         (wsb, fk.astype(jnp.bfloat16), fv.astype(jnp.bfloat16)),
         x,
-        iters=32,
+        iters=256,
     )
     detail.update(
         decode_w4_int8kv_us=round(sec_q * 1e6, 1),

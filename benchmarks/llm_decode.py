@@ -82,7 +82,7 @@ def main():
 
     sec_q = per_step_seconds(
         lambda s, xi: decode_step_w4(s[0], s[1], xi)[0], (params, cache), x,
-        iters=64,
+        iters=256,
     )
     print(json.dumps({"metric": "decode_w4_int8kv", "value": round(sec_q * 1e6, 1),
                       "unit": "us/token-layer"}), flush=True)
@@ -92,7 +92,7 @@ def main():
     vc = fill_v.astype(jnp.bfloat16)
     sec_b = per_step_seconds(
         lambda s, xi: decode_step_bf16(s[0], s[1], s[2], xi), (wsb, kc, vc), x,
-        iters=64,
+        iters=256,
     )
     print(json.dumps({"metric": "decode_bf16", "value": round(sec_b * 1e6, 1),
                       "unit": "us/token-layer",
