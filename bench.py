@@ -3,11 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Headline: NIN-GC IAO W8A8 (bn-fused, weight-pre-quantized, int engine)
+Headline: NIN-GC IAO **W4A4** (bn-fused, nibble-packed weights, int engine)
 images/sec at batch 1024 vs the same model's FP32 eval throughput — the
-reference's "FPS improves after deployment conversion" oracle
-(dorefa/quant_model_test/quant_model_test.py:28-65) made quantitative.
-The reference publishes no absolute throughput numbers (SURVEY.md §6).
+BASELINE.json headline config. W8A8 engine/fake-quant numbers ride in
+`detail` for continuity with rounds 1-2. The reference's "FPS improves
+after deployment conversion" oracle
+(dorefa/quant_model_test/quant_model_test.py:28-65) made quantitative;
+the reference publishes no absolute throughput numbers (SURVEY.md §6).
 
 `detail` additionally captures (VERDICT r1 item 8):
   - ResNet18 int8 engine vs fp32 (residual graphs through the
@@ -37,6 +39,8 @@ def _eval_fps(model, x):
 
 
 def _bench_nin_gc(detail):
+    """NIN-GC engine throughput at the BASELINE headline config (W4A4) and
+    the W8A8 comparison point, both vs the same model's FP32 eval."""
     from micronet_tpu.infer import freeze_int, fuse_bn_iao
     from micronet_tpu.models import nin_gc
     from micronet_tpu.nn import eval_mode, prepare, train_mode
@@ -49,26 +53,31 @@ def _bench_nin_gc(detail):
     eval_mode(fp_model)
     fps_fp = _eval_fps(fp_model, x)
 
-    # quantized inference graphs: QAT-prepared, BN-fused, pre-quantized
-    cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
-    q = prepare(nin_gc.Net(rngs=nnx.Rngs(0)), cfg, method="iao")
-    train_mode(q)
-    for i in range(2):  # move observers/BN off init so scales are realistic
-        q(jax.random.normal(jax.random.PRNGKey(i), (32, 32, 32, 3)))
-    fused = fuse_bn_iao(q, cfg)
-    eval_mode(fused)
-    fps_q = _eval_fps(fused, x)
+    def engine_fps(a_bits, w_bits, want_fq_fps=False):
+        # quantized inference graph: QAT-prepared, BN-fused, pre-quantized
+        cfg = QuantConfig(a_bits=a_bits, w_bits=w_bits, bn_fuse=True)
+        q = prepare(nin_gc.Net(rngs=nnx.Rngs(0)), cfg, method="iao")
+        train_mode(q)
+        for i in range(2):  # move observers/BN off init so scales are realistic
+            q(jax.random.normal(jax.random.PRNGKey(i), (32, 32, 32, 3)))
+        fused = fuse_bn_iao(q, cfg)
+        eval_mode(fused)
+        fps_q = _eval_fps(fused, x) if want_fq_fps else None
+        engine = freeze_int(fused, example_input=x[:1])
+        eval_mode(engine)
+        return _eval_fps(engine, x), fps_q
 
-    engine = freeze_int(fused, example_input=x[:1])
-    eval_mode(engine)
-    fps_e = _eval_fps(engine, x)
+    fps_w8a8, fps_fq = engine_fps(8, 8, want_fq_fps=True)
+    fps_w4a4, _ = engine_fps(4, 4)
 
     detail.update(
         fp32_img_s=round(fps_fp, 1),
-        fake_quant_img_s=round(fps_q, 1),
-        int_engine_img_s=round(fps_e, 1),
+        fake_quant_img_s=round(fps_fq, 1),
+        int_engine_w8a8_img_s=round(fps_w8a8, 1),
+        int_engine_w4a4_img_s=round(fps_w4a4, 1),
+        w8a8_vs_fp32=round(fps_w8a8 / fps_fp, 3),
     )
-    return max(fps_q, fps_e), fps_fp
+    return fps_w4a4, fps_fp
 
 
 def _bench_resnet18(detail):
@@ -145,6 +154,9 @@ def _bench_train(detail):
     )
     detail["train_iao_bnfuse_img_s"] = round(
         measure("iao", QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)), 1
+    )
+    detail["train_iao_w4a4_bnfuse_img_s"] = round(
+        measure("iao", QuantConfig(a_bits=4, w_bits=4, bn_fuse=True)), 1
     )
 
 
@@ -240,7 +252,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "nin_gc_w8a8_inference_throughput",
+                "metric": "nin_gc_w4a4_inference_throughput",
                 "value": round(best, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best / fps_fp, 3),

@@ -15,9 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from micronet_tpu.ops.int4_matmul import (
-    pack_int4,
+    pack_int4_hl8,
     quantize_int4_weight_grouped,
-    wo_linear_grouped,
+    wo_linear_grouped_hl8,
 )
 from micronet_tpu.quant.kv_cache import append_kv, attend, init_kv_cache
 from micronet_tpu.utils.timing import per_step_seconds
@@ -40,7 +40,7 @@ def decode_step_w4(params, cache, x):
     """x (1, DIM) -> (1, DIM); packed W4 matmuls + int8 KV attention."""
     def lin(n, h):
         p, s = params[n]
-        return wo_linear_grouped(h, p, s)
+        return wo_linear_grouped_hl8(h, p, s)
 
     q = lin("wq", x).reshape(1, HEADS, HEAD_DIM).transpose(1, 0, 2)
     k = lin("wk", x).reshape(1, HEADS, HEAD_DIM).transpose(1, 0, 2)
@@ -74,7 +74,7 @@ def main():
     params = {}
     for n, w in ws.items():
         wq, gs = quantize_int4_weight_grouped(w, 128)
-        params[n] = (pack_int4(wq), gs)
+        params[n] = (pack_int4_hl8(wq), gs)
     cache = init_kv_cache(HEADS, SEQ, HEAD_DIM)
     fill_k = jax.random.normal(jax.random.PRNGKey(2), (HEADS, SEQ - 1, HEAD_DIM))
     fill_v = jax.random.normal(jax.random.PRNGKey(3), (HEADS, SEQ - 1, HEAD_DIM))

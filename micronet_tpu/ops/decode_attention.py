@@ -1,0 +1,144 @@
+"""Pallas TPU kernel: fused decode attention over the int8 KV cache.
+
+The decode-path flagship op (VERDICT r2 item 2). One generated token
+attends to the whole cache every step, so decode attention is pure HBM
+bandwidth: the win of int8 KV storage (quant/kv_cache.py) is only
+realized if the kernel reads the CODES + per-position scales directly.
+The previous lowering (`attend`) dequantized the full cache to f32 and
+let XLA fuse — measured, XLA materializes the dequantized K/V copies in
+HBM, so an S=2048 Llama layer paid ~4x the int8 read traffic.
+
+This kernel fuses, per head, in one VMEM pass:
+
+  logits = (q @ k_codes^T) * k_scale / sqrt(D)   (MXU, bf16 x bf16 -> f32)
+  probs  = softmax(logits masked to the fill length)          (VPU, f32)
+  out    = (probs * v_scale) @ v_codes            (MXU, bf16 x bf16 -> f32)
+
+int8 codes are exact in bf16 (|code| <= 127 < 2^8); q and probs ride
+bf16 operands with f32 accumulation — the standard attention precision
+class. Per-position scales fold into the logits columns (k) and into
+probs (v), so nothing is ever dequantized to HBM.
+
+Grid: one program per (batch*head); K/V blocks of (S, D) codes stay in
+VMEM (S=2048, D=128 int8 -> 256 KiB each). The per-program mask bound
+(cache fill length, optionally min'd with a causal position) rides SMEM,
+so batched serving slots with different fill levels share one kernel.
+
+Reference anchor: replaces the TensorRT engine's fused attention role
+(deploy/tensorrt/, SURVEY.md §2.8) for the net-new LLM serving kit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["decode_attend_q8kv", "decode_attend_q8kv_xla"]
+
+_QROWS = 8  # f32 sublane tile: the single query row rides a (8, D) block
+
+
+def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bound_ref, out_ref):
+    bound = bound_ref[pl.program_id(0)]  # whole (G,) vector lives in SMEM
+    q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
+    kc = kc_ref[0]  # (S, D) int8
+    s = kc.shape[0]
+    logits = jax.lax.dot_general(
+        q,
+        kc.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (8, S)
+    d = q_ref.shape[-1]
+    logits = logits * ks_ref[0]  # (1, S) per-position k scales
+    logits = logits * (1.0 / (d**0.5))
+    pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = pos < bound
+    logits = jnp.where(valid, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = jnp.where(valid, p, 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)  # fold per-position v scales
+    acc = jax.lax.dot_general(
+        pv,
+        vc_ref[0].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (8, D)
+    out_ref[0] = acc / denom
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decode_attend_q8kv(
+    k_codes: jax.Array,  # (G, S, D) int8  (G = batch*heads or heads)
+    k_scale: jax.Array,  # (G, S) f32
+    v_codes: jax.Array,  # (G, S, D) int8
+    v_scale: jax.Array,  # (G, S) f32
+    q: jax.Array,  # (G, D) f32 — ONE query row per head
+    bound: jax.Array,  # (G,) int32 — attend to positions < bound
+) -> jax.Array:
+    """Fused single-token attention against an int8 KV cache -> (G, D) f32."""
+    g, s, d = k_codes.shape
+    if jax.default_backend() != "tpu" or d % 128 or s % 128:
+        return decode_attend_q8kv_xla(k_codes, k_scale, v_codes, v_scale, q, bound)
+    q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, 0, :].set(q)
+    bound2 = bound.astype(jnp.int32).reshape(g)
+    ks3 = k_scale.reshape(g, 1, s)
+    vs3 = v_scale.reshape(g, 1, s)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, _QROWS, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) bound vector
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _QROWS, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * s * d * 2,
+            bytes_accessed=2 * g * s * d + 2 * g * s * 4 + g * d * 8,
+            transcendentals=g * s,
+        ),
+    )(q8, k_codes, ks3, v_codes, vs3, bound2)
+    return out[:, 0, :]
+
+
+def decode_attend_q8kv_xla(
+    k_codes, k_scale, v_codes, v_scale, q, bound
+) -> jax.Array:
+    """Numerics oracle / CPU fallback — same bf16-operand precision class
+    (codes exact in bf16; q/probs cast like the kernel)."""
+    g, s, d = k_codes.shape
+    logits = jnp.einsum(
+        "gd,gsd->gs",
+        q.astype(jnp.bfloat16),
+        k_codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * k_scale / (d**0.5)
+    valid = jnp.arange(s)[None, :] < bound[:, None]
+    logits = jnp.where(valid, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.where(valid, jnp.exp(logits - m), 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    pv = (p * v_scale).astype(jnp.bfloat16)
+    acc = jnp.einsum(
+        "gs,gsd->gd", pv, v_codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return acc / denom

@@ -38,6 +38,11 @@ __all__ = [
     "int4_matmul_grouped",
     "wo_linear",
     "wo_linear_grouped",
+    "pack_int4_hl8",
+    "unpack_int4_hl8",
+    "int4_matmul_grouped_hl8",
+    "int4_matmul_grouped_hl8_xla",
+    "wo_linear_grouped_hl8",
 ]
 
 
@@ -372,3 +377,180 @@ def wo_linear_grouped(
     else:
         out = int4_matmul_grouped_xla(x2, packed, gscale)
     return out.reshape(*lead, packed.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# hl8 format — the decode-path fast kernel (VERDICT r2 items 2/3).
+#
+# The v1 kernels above pay ~17 VPU ops per packed byte (sign-fix selects on
+# both nibbles + per-element scale multiply), which makes the M=1 decode
+# matmul VPU-UNPACK-bound at ~40% of the weight-bandwidth roofline. The fix
+# is representational: XOR the stored byte with 0x08. Two's-complement
+# nibble identity: (q & 0xF) ^ 8 == q + 8 for q in [-8, 7], so after the
+# XOR the byte's SIGNED int8 value is exactly
+#
+#     b = 16 * q_high + (q_low + 8),   q_high in [-8,7], q_low+8 in [0,15]
+#
+# and the unpack needs no selects at all:
+#
+#     f   = f32(b)                  (1 convert)
+#     qh  = floor(f * 1/16)         (= q_high exactly, signed)
+#     ulp = f - 16 * qh             (= q_low + 8, unsigned)
+#
+# The +8 low-nibble offset folds into a per-group rank-1 correction
+# (-8 * sum(x_g) * scale_g) instead of a per-element subtract, and group
+# scales apply to per-group PARTIAL DOTS (G*bm*bn elements) instead of to
+# every weight element (K*bn) — together ~2.4x less VPU work per byte.
+# ---------------------------------------------------------------------------
+
+
+def pack_int4_hl8(w_q: jax.Array) -> jax.Array:
+    """(K, N) int4 codes -> (K/2, N) int8, hl8 byte layout (see above)."""
+    return pack_int4(w_q) ^ 0x08
+
+
+def unpack_int4_hl8(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4_hl8`."""
+    return unpack_int4(packed ^ 0x08)
+
+
+def _kernel_grouped_hl8(x_ref, wp_ref, gs_ref, out_ref, *, group):
+    """Per-group loop: nibble-split one (group, bn) slab at a time (keeps
+    dequant temporaries at slab size, so bn can stay large), dot each slab
+    against its x slice on the MXU, scale the PARTIAL result."""
+    k2 = wp_ref.shape[0]
+    g1 = k2 // group
+    x = x_ref[:]
+    xb = x.astype(jnp.bfloat16)
+    acc = jnp.zeros((x.shape[0], out_ref.shape[1]), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    for gi in range(g1):
+        lo, hi = gi * group, (gi + 1) * group
+        f = wp_ref[lo:hi, :].astype(jnp.float32)  # int8 -> f32, 1 op
+        qh = jnp.floor(f * (1.0 / 16.0))  # signed high nibble
+        ulp = f - qh * 16.0  # low nibble + 8 (unsigned)
+        xl = xb[:, lo:hi]
+        xh = xb[:, k2 + lo : k2 + hi]
+        p_lo = jax.lax.dot_general(
+            xl, ulp.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        p_hi = jax.lax.dot_general(
+            xh, qh.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        sxl = jnp.sum(
+            xl.astype(jnp.float32), axis=1, keepdims=True
+        )  # rank-1 +8 correction
+        acc = acc + (p_lo - 8.0 * sxl) * gs_ref[gi : gi + 1, :]
+        acc = acc + p_hi * gs_ref[g1 + gi : g1 + gi + 1, :]
+    out_ref[:] = acc
+
+
+def int4_matmul_grouped_hl8_xla(
+    x: jax.Array, packed: jax.Array, gscale: jax.Array
+) -> jax.Array:
+    """Oracle/CPU fallback mirroring the kernel's per-group reduction
+    order and bf16 operand casts."""
+    k2, n = packed.shape
+    groups = gscale.shape[0]
+    group = 2 * k2 // groups
+    g1 = k2 // group
+    x2 = x.reshape(-1, x.shape[-1])
+    xb = x2.astype(jnp.bfloat16)
+    acc = jnp.zeros((x2.shape[0], n), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    p32 = (packed.astype(jnp.int32) & 0xFF).astype(jnp.float32)
+    qh_all = jnp.floor(p32 * (1.0 / 16.0))
+    qh_all = jnp.where(qh_all >= 8.0, qh_all - 16.0, qh_all)  # re-sign f32 view
+    ulp_all = p32 - jnp.floor(p32 * (1.0 / 16.0)) * 16.0
+    for gi in range(g1):
+        lo, hi = gi * group, (gi + 1) * group
+        xl, xh = xb[:, lo:hi], xb[:, k2 + lo : k2 + hi]
+        p_lo = jax.lax.dot_general(
+            xl, ulp_all[lo:hi].astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+        )
+        p_hi = jax.lax.dot_general(
+            xh, qh_all[lo:hi].astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+        )
+        sxl = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (p_lo - 8.0 * sxl) * gscale[gi : gi + 1, :]
+        acc = acc + p_hi * gscale[g1 + gi : g1 + gi + 1, :]
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn"))
+def int4_matmul_grouped_hl8(
+    x: jax.Array,
+    packed: jax.Array,
+    gscale: jax.Array,
+    *,
+    bm: int = 256,
+    bn: int = 1024,
+) -> jax.Array:
+    """x (M, K) @ hl8-packed int4 w (K/2, N) with (K/g, N) group scales."""
+    m, k = x.shape
+    k2, n = packed.shape
+    assert k == 2 * k2, (x.shape, packed.shape)
+    groups = gscale.shape[0]
+    assert k % groups == 0
+    group = k // groups
+    assert k2 % group == 0, (
+        f"group {group} must divide K/2={k2} (pack halves must cover whole groups)"
+    )
+    bm = min(bm, -(-m // 16) * 16)
+    bn = min(bn, -(-n // 128) * 128)
+    # VMEM budget: packed block (k2, bn) int8 + per-slab dequant
+    # temporaries (~17 B per (group, bn) element) + x/out; shrink bn in
+    # 128-aligned steps (ADVICE r2: keep lane-tile alignment)
+    while bn > 128 and k2 * bn + 20 * group * bn + 6 * bm * k > 14 * 2**20:
+        bn = max(128, (bn // 2) // 128 * 128)
+    mp = -(-m // bm) * bm
+    np_ = -(-n // bn) * bn
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    if np_ != n:
+        packed = jnp.pad(packed, ((0, 0), (0, np_ - n)))
+        gscale = jnp.pad(gscale, ((0, 0), (0, np_ - n)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_grouped_hl8, group=group),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(mp // bm, np_ // bn),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (groups, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k * 2 + k2 * np_ + groups * np_ * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, packed, gscale)
+    return out[:m, :n]
+
+
+def wo_linear_grouped_hl8(
+    x: jax.Array, packed_hl8: jax.Array, gscale: jax.Array
+) -> jax.Array:
+    """hl8 group-scaled weight-only int4 linear over arbitrary leading
+    dims; Pallas on TPU, per-group XLA oracle elsewhere."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() == "tpu":
+        out = int4_matmul_grouped_hl8(x2, packed_hl8, gscale)
+    else:
+        out = int4_matmul_grouped_hl8_xla(x2, packed_hl8, gscale)
+    return out.reshape(*lead, packed_hl8.shape[1])

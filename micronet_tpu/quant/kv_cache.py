@@ -113,11 +113,32 @@ def attend(
     ``causal_offset`` (the absolute position of q's first token), query t
     additionally cannot see positions beyond ``causal_offset + t`` —
     together: standard causal decode/prefill semantics over a
-    statically-shaped cache. Dequant happens in the matmul prologue (XLA
-    fuses convert+scale); softmax in f32.
+    statically-shaped cache.
+
+    Decode (T=1) dispatches to the fused Pallas kernel
+    (:func:`..ops.decode_attention.decode_attend_q8kv`): scores, masked
+    softmax, and the weighted sum read the int8 codes + scales directly in
+    one VMEM pass — nothing dequantizes to HBM. Prefill (T>1) keeps the
+    XLA lowering (compute-bound there; f32 dequant amortizes over T).
     """
     h, t, d = q.shape
     s = cache.max_seq
+    if t == 1:
+        from ..ops.decode_attention import decode_attend_q8kv
+
+        bound = cache.length
+        if causal_offset is not None:
+            bound = jnp.minimum(bound, causal_offset + 1)
+        bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32).reshape(()), (h,))
+        out = decode_attend_q8kv(
+            cache.k_codes,
+            cache.k_scale.reshape(h, s),
+            cache.v_codes,
+            cache.v_scale.reshape(h, s),
+            q[:, 0, :].astype(jnp.float32),
+            bound,
+        )
+        return out[:, None, :].astype(q.dtype)
     kf = cache.dequant_k()  # (H, S, D)
     vf = cache.dequant_v()
     logits = jnp.einsum("htd,hsd->hts", q.astype(jnp.float32), kf)

@@ -26,12 +26,11 @@ import jax.numpy as jnp
 from flax import nnx, struct
 
 from ..ops.int4_matmul import (
-    pack_int4,
+    pack_int4_hl8,
     quantize_int4_weight,
     quantize_int4_weight_grouped,
-    unpack_int4,
-    wo_linear,
-    wo_linear_grouped,
+    unpack_int4_hl8,
+    wo_linear_grouped_hl8,
 )
 
 from ..nn.modules import OrderedModule as _OrderedModule
@@ -56,7 +55,9 @@ class WOTensor:
     ``group == 0``: per-column scale (1, N). ``group > 0``: GPTQ/AWQ-style
     block scales (K/group, N) — one step size per (group rows x column),
     so a single outlier row cannot widen a whole column's step.
-    ``bits == 4``: nibble-packed (K/2, N) storage, Pallas decode kernel.
+    ``bits == 4``: nibble-packed (K/2, N) storage in the hl8 byte layout
+    (ops/int4_matmul.pack_int4_hl8), Pallas decode kernel; per-column
+    scales broadcast to 128-row groups so both cases ride one kernel.
     ``bits == 8``: plain int8 (K, N) codes — dequantize-and-matmul in XLA
     (the convert fuses into the dot prologue; weights move 1 byte).
     """
@@ -71,7 +72,7 @@ class WOTensor:
     def _codes(self) -> jax.Array:
         if self.bits == 8:
             return self.packed.astype(jnp.float32)
-        return unpack_int4(self.packed)[: self.k].astype(jnp.float32)
+        return unpack_int4_hl8(self.packed)[: self.k].astype(jnp.float32)
 
     def dequantize(self) -> jax.Array:
         w = self._codes()
@@ -94,9 +95,13 @@ class WOTensor:
             )
         full = self.packed.shape[0] * 2 == self.k
         if self.group and full and self.packed.shape[0] % self.group == 0:
-            return wo_linear_grouped(x, self.packed, self.scale)
-        if not self.group and full:
-            return wo_linear(x, self.packed, self.scale.reshape(-1))
+            return wo_linear_grouped_hl8(x, self.packed, self.scale)
+        if not self.group and full and self.packed.shape[0] % 128 == 0:
+            # per-column scales ride the grouped kernel as broadcast
+            # 128-row groups (~6% extra scale-row reads, one kernel)
+            g = self.k // 128
+            gs = jnp.broadcast_to(self.scale.reshape(1, -1), (g, self.scale.size))
+            return wo_linear_grouped_hl8(x, self.packed, gs)
         return x @ self.dequantize()  # odd-K / ragged-group fallback
 
 
@@ -131,7 +136,7 @@ def _quantize_2d(w: jax.Array, group: int = 0, bits: int = 4) -> WOTensor:
         w_q, scale = quantize_int4_weight(w, axis=0)
     if k % 2:
         w_q = jnp.pad(w_q, ((0, 1), (0, 0)))
-    return WOTensor(packed=pack_int4(w_q), scale=scale, k=k, group=group)
+    return WOTensor(packed=pack_int4_hl8(w_q), scale=scale, k=k, group=group)
 
 
 class WOLinear(_OrderedModule):

@@ -98,7 +98,13 @@ def _synthetic(n_train: int, n_test: int) -> Tuple[np.ndarray, ...]:
     return tr_x, tr_y, te_x, te_y
 
 
-def load_cifar10(synthetic_ok: bool = True, synthetic_size: int = 2048) -> Cifar10:
+def load_cifar10(
+    synthetic_ok: bool = True, synthetic_size: Optional[int] = None
+) -> Cifar10:
+    if synthetic_size is None:
+        # one knob so separate processes (CLI stages, acc-table flavors)
+        # train on the SAME deterministic stand-in set
+        synthetic_size = int(os.environ.get("MICRONET_SYNTHETIC_SIZE", 2048))
     # native C++ parser for the binary distribution first (fastest), then
     # the python-pickle batches
     from . import native_loader

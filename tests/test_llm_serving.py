@@ -58,13 +58,17 @@ def test_causal_mask_blocks_future():
     cache = append_kv(init_kv_cache(h, s, d), k, v)  # fully filled
     q = _rand(7, (h, 2, d))
     out = attend(cache, q, causal_offset=jnp.int32(0))
-    # reference: token 0 sees position 0 only; token 1 sees 0..1
+    # reference: token 0 sees position 0 only; token 1 sees 0..1. The T=2
+    # query runs the f32 prefill path while the T=1 references run the
+    # fused decode path (bf16 operands, f32 accumulation — see
+    # ops/decode_attention.py), so agreement is at bf16-operand precision;
+    # a causal-mask VIOLATION would be O(1), far outside this tolerance.
     for t in range(2):
         kt, vt = k[:, : t + 1], v[:, : t + 1]
         cache_t = append_kv(init_kv_cache(h, s, d), kt, vt)
         ref = attend(cache_t, q[:, t : t + 1])
         np.testing.assert_allclose(
-            np.asarray(out[:, t : t + 1]), np.asarray(ref), rtol=1e-5, atol=1e-6
+            np.asarray(out[:, t : t + 1]), np.asarray(ref), rtol=2e-2, atol=1e-3
         )
 
 
@@ -85,8 +89,12 @@ def test_decoder_prefill_decode_consistency():
     logits_full, _ = m.forward(toks, m.init_cache(), jnp.int32(0))
     l4, caches = m.forward(toks[:4], m.init_cache(), jnp.int32(0))
     l5, _ = m.forward(toks[4:], caches, jnp.int32(4))
+    # prefill runs the f32 attention path, the T=1 decode step the fused
+    # bf16-operand path (ops/decode_attention.py), so agreement is at
+    # bf16-operand precision; a cache-bookkeeping bug (wrong position,
+    # stale fill pointer) would show up as O(1) logit differences.
     np.testing.assert_allclose(
-        np.asarray(l5[0]), np.asarray(logits_full[-1]), rtol=2e-4, atol=2e-4
+        np.asarray(l5[0]), np.asarray(logits_full[-1]), rtol=2e-2, atol=5e-3
     )
 
 

@@ -140,8 +140,11 @@ def test_moe_decoder_prefill_decode_consistency():
     logits_full, _ = m.forward(toks, m.init_cache(), jnp.int32(0))
     _, caches = m.forward(toks[:4], m.init_cache(), jnp.int32(0))
     l5, _ = m.forward(toks[4:], caches, jnp.int32(4))
+    # prefill attention is f32, the T=1 decode step rides the fused
+    # bf16-operand path (ops/decode_attention.py): bf16-class tolerance.
+    # A routing/capacity inconsistency would produce O(1) differences.
     np.testing.assert_allclose(
-        np.asarray(l5[0]), np.asarray(logits_full[-1]), rtol=2e-4, atol=2e-4
+        np.asarray(l5[0]), np.asarray(logits_full[-1]), rtol=2e-2, atol=5e-3
     )
 
 
