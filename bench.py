@@ -161,33 +161,40 @@ def _bench_train(detail):
 
 
 def _bench_int4(detail):
+    """hl8 W4A16 grouped kernel at the Llama-3-8B up-proj shape, M in
+    {1, 8, 16}, with fraction-of-roofline against the weight-read bound
+    (BASELINE north star: >= 80%)."""
     from micronet_tpu.ops.int4_matmul import (
-        int4_matmul,
-        pack_int4,
-        quantize_int4_weight,
+        int4_matmul_grouped_hl8,
+        pack_int4_hl8,
+        quantize_int4_weight_grouped,
     )
+    from micronet_tpu.utils.profiling import roofline
     from micronet_tpu.utils.timing import per_step_seconds
 
-    m, k, n = 8, 4096, 14336  # Llama-3-8B MLP up-projection
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (m, k), jnp.bfloat16)
+    k, n, g = 4096, 14336, 128  # Llama-3-8B MLP up-projection
     w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.02
-    w_q, scale = quantize_int4_weight(w)
-    packed = pack_int4(w_q)
+    w_q, gscale = quantize_int4_weight_grouped(w, g)
+    packed = pack_int4_hl8(w_q)
     wb = w.astype(jnp.bfloat16)
 
-    sec_bf16 = per_step_seconds(
-        lambda s, xi: xi @ s, wb, x, iters=256
-    )
-    sec_int4 = per_step_seconds(
-        lambda s, xi: int4_matmul(xi, s[0], s[1]), (packed, scale.reshape(-1)), x,
-        iters=256,
-    )
-    detail.update(
-        int4_w4a16_us=round(sec_int4 * 1e6, 1),
-        bf16_matmul_us=round(sec_bf16 * 1e6, 1),
-        int4_vs_bf16=round(sec_bf16 / sec_int4, 2),
-    )
+    for m in (1, 8, 16):
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+        sec_bf16 = per_step_seconds(
+            lambda s, xi: (xi.astype(jnp.bfloat16) @ s).astype(jnp.float32),
+            wb, x, iters=256,
+        )
+        sec_int4 = per_step_seconds(
+            lambda s, xi: int4_matmul_grouped_hl8(xi, s[0], s[1]),
+            (packed, gscale), x, iters=256,
+        )
+        bytes_r = k // 2 * n + (k // g) * n * 4 + m * k * 4 + m * n * 4
+        rf = roofline(sec_int4, flops=2 * m * k * n, bytes_accessed=bytes_r)
+        detail[f"int4_hl8_m{m}_us"] = round(sec_int4 * 1e6, 1)
+        detail[f"int4_hl8_m{m}_roofline"] = round(rf["fraction_of_roofline"], 2)
+        detail[f"int4_hl8_m{m}_vs_bf16"] = round(sec_bf16 / sec_int4, 2)
+        if m == 8:
+            detail["bf16_matmul_us"] = round(sec_bf16 * 1e6, 1)
 
 
 def _bench_llm_decode(detail):
@@ -203,7 +210,7 @@ def _bench_llm_decode(detail):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     from micronet_tpu.ops.int4_matmul import (
-        pack_int4,
+        pack_int4_hl8,
         quantize_int4_weight_grouped,
     )
     from micronet_tpu.quant.kv_cache import append_kv, init_kv_cache
@@ -215,7 +222,7 @@ def _bench_llm_decode(detail):
     params = {}
     for n, w in ws.items():
         wq, gs = quantize_int4_weight_grouped(w, 128)
-        params[n] = (pack_int4(wq), gs)
+        params[n] = (pack_int4_hl8(wq), gs)
     cache = init_kv_cache(mod.HEADS, mod.SEQ, mod.HEAD_DIM)
     fk = jax.random.normal(jax.random.PRNGKey(2), (mod.HEADS, mod.SEQ - 1, mod.HEAD_DIM))
     fv = jax.random.normal(jax.random.PRNGKey(3), (mod.HEADS, mod.SEQ - 1, mod.HEAD_DIM))

@@ -48,6 +48,24 @@ def main():
     print(f"batched prefill logits {logits.shape}; int8 KV bytes/layer/request "
           f"{kv_cache_bytes(served.init_cache()[0])}")
 
+    # continuous batching: variable-length requests share 2 slots; a third
+    # arrives mid-flight and takes the first slot that frees up. Each
+    # request's tokens match its isolated generate() run exactly.
+    from micronet_tpu.serve import Request, ServeLoop
+
+    loop = ServeLoop(served, max_slots=2)
+    loop.submit(Request(rid=0, prompt=[12, 99, 7, 45], max_new_tokens=8))
+    loop.submit(Request(rid=1, prompt=[3, 5], max_new_tokens=4))
+    loop.step()  # slot admission + first batched step
+    loop.submit(Request(rid=2, prompt=[200, 17, 6], max_new_tokens=5))
+    done = loop.run()
+    for rid in sorted(done):
+        r = done[rid]
+        iso = list(np.asarray(served.generate(
+            jnp.asarray(r.prompt, jnp.int32), steps=r.max_new_tokens)))
+        tag = "== isolated" if r.output == [int(t) for t in iso] else "!= isolated"
+        print(f"request {rid} (len {len(r.prompt)}): {r.output} {tag}")
+
 
 if __name__ == "__main__":
     main()

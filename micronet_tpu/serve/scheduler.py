@@ -1,0 +1,139 @@
+"""Continuous-batching scheduler over the batched decode step.
+
+The reference's deploy leg is a fixed-shape TensorRT engine fed one batch
+at a time (deploy/tensorrt/util_trt.py:189-222). Production LLM serving
+needs the orthogonal thing: a FIXED-shape compiled step (XLA: one program)
+with DYNAMIC membership — requests of different lengths join mid-flight,
+finished requests leave, their slot is recycled for the next queued
+request. This module supplies that admission/eviction loop on top of
+:meth:`TinyDecoder.forward_batch` (weights shared, per-slot caches and
+offsets — every slot advances independently).
+
+Design (vLLM-style continuous batching, TPU-first):
+
+- ONE compiled decode program for the whole loop: ``(B, 1)`` tokens +
+  per-slot offsets over statically-shaped int8 KV caches. Slot joins or
+  leaves never recompile.
+- Admission = prefill the request alone (T = prompt length; one compile
+  per distinct length — bucket/pad upstream if needed, cf.
+  ``infer/deploy.py``'s AOT batch ladder), then splice its cache into the
+  batched cache pytree at the free slot index.
+- Eviction = host-side bookkeeping only; the slot's device state is fully
+  reset at the next admission, so a stale cache can never leak into a new
+  request (asserted by tests/test_serving_loop.py's isolation oracle).
+- Inactive slots still step (their lanes are masked garbage) — that is
+  the TPU-correct trade: B is static, the XLA program never changes, and
+  idle-lane work is free compared to a recompile.
+
+Determinism contract: a request's tokens are identical to its isolated
+``generate()`` run, regardless of what shares the batch (per-slot caches
++ drop-free MoE serving capacity guarantee independence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Deque, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Request", "ServeLoop"]
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request."""
+
+    rid: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos: Optional[int] = None
+    # filled by the loop:
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ServeLoop:
+    """Admission/eviction scheduler over ``model.forward_batch`` slots."""
+
+    def __init__(self, model, max_slots: int):
+        self.model = model
+        self.b = max_slots
+        self.caches = model.init_cache_batch(max_slots)
+        self.offsets = jnp.zeros((max_slots,), jnp.int32)
+        self.next_tok = jnp.zeros((max_slots, 1), jnp.int32)
+        self.slot_req: List[Optional[Request]] = [None] * max_slots
+        self.queue: Deque[Request] = deque()
+        self.finished: Dict[int, Request] = {}
+        self._fresh_single = model.init_cache()
+
+    # -- request lifecycle --------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self.slot_req) if r is None]
+
+    def _admit(self, slot: int, req: Request) -> None:
+        """Prefill ``req`` alone, then splice cache/offset/token into the
+        batch state at ``slot`` (device state of the slot is fully
+        overwritten — recycling cannot leak the previous request)."""
+        prompt = jnp.asarray(req.prompt, jnp.int32)
+        logits, cache_single = self.model.forward(
+            prompt, self.model.init_cache(), jnp.int32(0)
+        )
+        first = jnp.argmax(logits[-1]).astype(jnp.int32)
+        self.caches = jax.tree.map(
+            lambda full, one: full.at[slot].set(one), self.caches, cache_single
+        )
+        self.offsets = self.offsets.at[slot].set(len(req.prompt))
+        self.next_tok = self.next_tok.at[slot, 0].set(first)
+        req.output.append(int(first))
+        self.slot_req[slot] = req
+        self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        hit_eos = req.eos is not None and req.output and req.output[-1] == req.eos
+        if len(req.output) >= req.max_new_tokens or hit_eos:
+            req.done = True
+            self.finished[req.rid] = req
+            self.slot_req[slot] = None  # slot recycles at next admission
+
+    # -- the loop -----------------------------------------------------------
+
+    def step(self) -> None:
+        """Admit queued requests into free slots, then one batched decode
+        step for every slot (active lanes consume their token; idle lanes
+        compute masked garbage — the program shape never changes)."""
+        for slot in self._free_slots():
+            if not self.queue:
+                break
+            self._admit(slot, self.queue.popleft())
+        if not any(r is not None for r in self.slot_req):
+            return
+        logits, self.caches = self.model.forward_batch(
+            self.next_tok, self.caches, self.offsets
+        )
+        toks = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+        self.offsets = self.offsets + 1
+        self.next_tok = toks[:, None]
+        host_toks = jax.device_get(toks)
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            req.output.append(int(host_toks[slot]))
+            self._maybe_finish(slot)
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, Request]:
+        """Drive until every submitted request finishes (or max_steps)."""
+        for _ in range(max_steps):
+            if not self.queue and all(r is None for r in self.slot_req):
+                break
+            self.step()
+        return self.finished
