@@ -53,13 +53,15 @@ class MoEMLP(OrderedModule):
         mlp_dim: int,
         n_experts: int,
         capacity_factor: float = 0.0,
+        top_k: int = 1,
         *,
         rngs: nnx.Rngs,
     ):
-        # serving default is DROP-FREE (capacity == T, cf = E): token t's
+        # serving default is DROP-FREE (capacity == k*T, cf = E): token t's
         # output must not depend on which other tokens share the forward
         # pass, or prefill and incremental decode would disagree. Training
         # can pass a finite cf (e.g. 1.25) for the classic GShard regime.
+        # top_k=2 with renormalized gates is the actual GShard default.
         if not capacity_factor:
             capacity_factor = float(n_experts)
         p = init_moe(dim, mlp_dim, n_experts, rngs.params())
@@ -69,6 +71,7 @@ class MoEMLP(OrderedModule):
         self.up_scale = None
         self.down_scale = None
         self.capacity_factor = capacity_factor
+        self.top_k = top_k
 
     def params(self) -> MoEParams:
         return MoEParams(
@@ -80,7 +83,14 @@ class MoEMLP(OrderedModule):
         )
 
     def quantize_(self) -> None:
-        """In-place int8 weight-only expert conversion (serving)."""
+        """In-place int8 weight-only expert conversion (serving).
+
+        SERVING-ONLY: the expert weights become plain ``nnx.Variable``
+        (not ``nnx.Param``), so they deliberately drop out of
+        Param-filtered state — optimizers and Param-only checkpoint
+        filters will no longer see them. Do not hand a quantized model
+        back to training utilities (same contract as
+        ``wo_quantize_linear``)."""
         qp = quantize_moe(self.params())
         self.w_up = nnx.Variable(qp.w_up)
         self.w_down = nnx.Variable(qp.w_down)
@@ -90,7 +100,7 @@ class MoEMLP(OrderedModule):
         self.down_scale = nnx.data(nnx.Variable(qp.down_scale))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return moe_apply(self.params(), x, self.capacity_factor)
+        return moe_apply(self.params(), x, self.capacity_factor, self.top_k)
 
 
 class DecoderBlock(OrderedModule):

@@ -10,6 +10,7 @@ from .moe import (
     load_balance_loss,
     moe_apply,
     moe_apply_ep,
+    moe_apply_ep_a2a,
     quantize_moe,
 )
 from .pipeline import pipeline_apply, stack_stage_params
@@ -28,6 +29,7 @@ __all__ = [
     "quantize_moe",
     "moe_apply",
     "moe_apply_ep",
+    "moe_apply_ep_a2a",
     "load_balance_loss",
     "pipeline_apply",
     "stack_stage_params",

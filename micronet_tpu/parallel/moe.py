@@ -42,6 +42,7 @@ __all__ = [
     "quantize_moe",
     "moe_apply",
     "moe_apply_ep",
+    "moe_apply_ep_a2a",
     "load_balance_loss",
 ]
 
@@ -103,8 +104,10 @@ def quantize_moe(params: MoEParams) -> MoEParams:
     )
 
 
-def _capacity(n_tokens: int, n_experts: int, capacity_factor: float) -> int:
-    return max(1, int(math.ceil(capacity_factor * n_tokens / n_experts)))
+def _capacity(
+    n_tokens: int, n_experts: int, capacity_factor: float, top_k: int = 1
+) -> int:
+    return max(1, int(math.ceil(capacity_factor * top_k * n_tokens / n_experts)))
 
 
 def _dispatch(
@@ -127,6 +130,41 @@ def _dispatch(
     return gate, dmat
 
 
+def _dispatch_topk(
+    logits: jax.Array, capacity: int, top_k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """GShard top-k dispatch (the actual GShard default is k=2):
+    logits (T, E) -> (dispatch D (T, E, C) in {0,1}, combine W (T, E, C)).
+
+    Gates are the router probabilities of the chosen experts,
+    renormalized over the k choices (GShard eq. 4). Slot accounting is
+    choice-major: every token's 1st choice queues before ANY token's 2nd
+    choice (GShard's "second expert gets leftover capacity" rule), so a
+    capacity squeeze preferentially drops 2nd choices. ``out = einsum(
+    y, W)`` — dropped choices contribute 0 and the residual carries them.
+    """
+    t, e = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)
+    _, idx = jax.lax.top_k(logits, top_k)  # (T, k)
+    onehots = [
+        jax.nn.one_hot(idx[:, j], e, dtype=logits.dtype) for j in range(top_k)
+    ]
+    gates = [jnp.sum(probs * oh, axis=-1) for oh in onehots]  # k x (T,)
+    denom = sum(gates) + 1e-9
+    gates = [g / denom for g in gates]
+    dmat = jnp.zeros((t, e, capacity), logits.dtype)
+    comb = jnp.zeros((t, e, capacity), logits.dtype)
+    base = jnp.zeros((e,), jnp.int32)  # slots consumed by earlier choices
+    for j in range(top_k):
+        oh = onehots[j]
+        pos = jnp.cumsum(oh, axis=0).astype(jnp.int32) - 1 + base[None, :]
+        d_j = jax.nn.one_hot(pos, capacity, dtype=logits.dtype) * oh[..., None]
+        dmat = dmat + d_j
+        comb = comb + d_j * gates[j][:, None, None]
+        base = base + jnp.sum(oh, axis=0).astype(jnp.int32)
+    return dmat, comb
+
+
 def _expert_mlp(xe: jax.Array, w_up: jax.Array, w_down: jax.Array) -> jax.Array:
     """(E, C, dim) expert slots through each expert's MLP."""
     h = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xe, w_up))
@@ -134,19 +172,28 @@ def _expert_mlp(xe: jax.Array, w_up: jax.Array, w_down: jax.Array) -> jax.Array:
 
 
 def moe_apply(
-    params: MoEParams, x: jax.Array, capacity_factor: float = 1.25
+    params: MoEParams,
+    x: jax.Array,
+    capacity_factor: float = 1.25,
+    top_k: int = 1,
 ) -> jax.Array:
-    """Dense (single-device) top-1 MoE forward: x (T, dim) -> (T, dim).
+    """Dense (single-device) top-k MoE forward: x (T, dim) -> (T, dim).
 
-    The correctness oracle for :func:`moe_apply_ep`; identical routing,
-    capacity, and drop semantics."""
+    ``top_k=1`` keeps the Switch-style routing of rounds 1-2 bit-for-bit;
+    ``top_k=2`` is the actual GShard configuration (renormalized gates,
+    choice-major capacity). The correctness oracle for the EP paths;
+    identical routing, capacity, and drop semantics."""
     n_experts = params.router.shape[-1]
-    cap = _capacity(x.shape[0], n_experts, capacity_factor)
+    cap = _capacity(x.shape[0], n_experts, capacity_factor, top_k)
     logits = x @ params.router
-    gate, dmat = _dispatch(logits, cap)
+    if top_k == 1:
+        gate, dmat = _dispatch(logits, cap)
+        comb = dmat * gate[:, None, None]
+    else:
+        dmat, comb = _dispatch_topk(logits, cap, top_k)
     xe = jnp.einsum("td,tec->ecd", x, dmat)
     y = _expert_mlp(xe, params.up(), params.down())
-    return jnp.einsum("ecd,tec->td", y, dmat) * gate[:, None]
+    return jnp.einsum("ecd,tec->td", y, comb)
 
 
 def moe_apply_ep(
@@ -189,6 +236,81 @@ def moe_apply_ep(
         out_specs=P(),
         check_vma=False,
     )(params.router, params.w_up, params.w_down, params.up_scale, params.down_scale, x)
+
+
+def moe_apply_ep_a2a(
+    params: MoEParams,
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "expert",
+    capacity_factor: float = 1.25,
+    top_k: int = 2,
+) -> jax.Array:
+    """Expert parallelism with GShard's all-to-all token exchange — the
+    scalable dispatch (VERDICT r2 item 9).
+
+    Unlike :func:`moe_apply_ep` (activations replicated; every device
+    builds the full (T, E, C) dispatch), tokens here are SHARDED over
+    ``axis``: each device routes its own T/ep tokens, builds a local
+    (T_l, E, C_l) dispatch, and two ``all_to_all`` collectives move the
+    expert slots to/from their owners — per-device dispatch work and ICI
+    volume are O(T_l * cf * k * dim), independent of the mesh size.
+
+    Semantics: capacity is accounted PER SHARD (C_l slots per expert per
+    token shard — GShard's data-parallel behavior), so the oracle is
+    ``vmap(moe_apply)`` over the token shards, not one global dispatch.
+    Differentiable: all_to_all is its own transpose, so AD gives the
+    backward exchange for free.
+    """
+    ep = mesh.shape[axis]
+    n_experts = params.router.shape[-1]
+    assert n_experts % ep == 0, (n_experts, ep)
+    assert x.shape[0] % ep == 0, (x.shape, ep)
+    e_local = n_experts // ep
+    t_local = x.shape[0] // ep
+    cap = _capacity(t_local, n_experts, capacity_factor, top_k)
+    dim = x.shape[-1]
+
+    def shard_fn(router, w_up, w_down, up_s, down_s, x_l):
+        logits = x_l @ router  # (T_l, E) — each shard routes its tokens
+        if top_k == 1:
+            gate, dmat = _dispatch(logits, cap)
+            comb = dmat * gate[:, None, None]
+        else:
+            dmat, comb = _dispatch_topk(logits, cap, top_k)
+        xe = jnp.einsum("td,tec->ecd", x_l, dmat)  # (E, C_l, dim)
+        # exchange: send each expert-owner its slots; receive every
+        # shard's slots for OUR experts -> (ep, e_local, C_l, dim) with
+        # dim 0 = source shard
+        xe = xe.reshape(ep, e_local, cap, dim)
+        xr = jax.lax.all_to_all(xe, axis, split_axis=0, concat_axis=0)
+        xr = xr.transpose(1, 0, 2, 3).reshape(e_local, ep * cap, dim)
+        up = w_up if up_s is None else w_up.astype(up_s.dtype) * up_s
+        down = w_down if down_s is None else w_down.astype(down_s.dtype) * down_s
+        y = _expert_mlp(xr, up, down)  # (e_local, ep*C_l, dim)
+        y = y.reshape(e_local, ep, cap, dim).transpose(1, 0, 2, 3)
+        yr = jax.lax.all_to_all(y, axis, split_axis=0, concat_axis=0)
+        yr = yr.reshape(n_experts, cap, dim)  # our tokens' slots, all experts
+        return jnp.einsum("ecd,tec->td", yr, comb)
+
+    from jax import shard_map
+
+    quantized = params.up_scale is not None
+    scale_spec = P(axis) if quantized else None
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), scale_spec, scale_spec, P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(
+        params.router,
+        params.w_up,
+        params.w_down,
+        params.up_scale,
+        params.down_scale,
+        x,
+    )
 
 
 def load_balance_loss(logits: jax.Array) -> jax.Array:

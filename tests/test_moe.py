@@ -183,3 +183,120 @@ def test_moe_decoder_quantized_tracks_float():
     assert cos_to_float(mq) > 0.9
     out = mq.generate(toks, steps=4)
     assert out.shape == (4,) and int(out.max()) < 64
+
+
+# ---------------------------------------------------------------------------
+# round 3: top-2 routing + all-to-all EP dispatch (VERDICT r2 item 9)
+# ---------------------------------------------------------------------------
+
+
+def test_top2_gates_renormalize_and_match_manual():
+    """Drop-free top-2 == manual mixture of the two chosen experts with
+    renormalized router probabilities."""
+    from micronet_tpu.parallel.moe import _expert_mlp
+
+    params, x = _setup(3)
+    y = moe_apply(params, x, capacity_factor=float(E), top_k=2)
+    logits = x @ params.router
+    probs = jax.nn.softmax(logits, -1)
+    _, idx = jax.lax.top_k(logits, 2)
+    manual = []
+    for t in range(T):
+        acc = 0.0
+        g = [float(probs[t, idx[t, j]]) for j in range(2)]
+        gs = [gi / (sum(g) + 1e-9) for gi in g]
+        for j in range(2):
+            e = int(idx[t, j])
+            h = jax.nn.gelu(x[t] @ params.w_up[e])
+            acc = acc + gs[j] * (h @ params.w_down[e])
+        manual.append(acc)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(jnp.stack(manual)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_top2_capacity_drops_second_choices_first():
+    """With capacity for exactly the first choices, top-2 output must
+    equal the top-1 output scaled by the renormalized first gate."""
+    params, x = _setup(4)
+    # route all tokens to one expert: capacity 1*T can hold every 1st
+    # choice but no 2nd choices (choice-major accounting)
+    logits = x @ params.router
+    probs = jax.nn.softmax(logits, -1)
+    _, idx = jax.lax.top_k(logits, 2)
+    y2 = moe_apply(params, x, capacity_factor=E / 2.0, top_k=2)  # cap = T
+    # every 1st choice fits iff no expert gets > T first-choice tokens (true
+    # trivially); 2nd choices fit only in leftover slots — verify that any
+    # token whose 2nd choice was dropped equals gate1-only output
+    from micronet_tpu.parallel.moe import _dispatch_topk
+
+    dmat, comb = _dispatch_topk(logits, T, 2)
+    got_both = np.asarray(jnp.sum(dmat, axis=(1, 2))) == 2
+    g1 = jnp.sum(probs * jax.nn.one_hot(idx[:, 0], E), -1)
+    g2 = jnp.sum(probs * jax.nn.one_hot(idx[:, 1], E), -1)
+    g1n = g1 / (g1 + g2 + 1e-9)
+    for t in range(T):
+        if got_both[t]:
+            continue
+        e = int(idx[t, 0])
+        h = jax.nn.gelu(x[t] @ params.w_up[e])
+        expect = float(g1n[t]) * (h @ params.w_down[e])
+        np.testing.assert_allclose(
+            np.asarray(y2[t]), np.asarray(expect), rtol=1e-4, atol=1e-5
+        )
+
+
+def _sharded_oracle(params, x, ep, cf, top_k):
+    """Per-shard dispatch reference: vmap the dense forward over the token
+    shards (the a2a path's capacity is accounted per shard)."""
+    xs = x.reshape(ep, x.shape[0] // ep, x.shape[-1])
+    return jax.vmap(lambda xi: moe_apply(params, xi, cf, top_k))(xs).reshape(
+        x.shape
+    )
+
+
+def test_ep_a2a_matches_sharded_dense_top1_and_top2():
+    from micronet_tpu.parallel.moe import moe_apply_ep_a2a
+
+    params, x = _setup(5)
+    for top_k in (1, 2):
+        ref = _sharded_oracle(params, x, 8, 2.0, top_k)
+        got = moe_apply_ep_a2a(
+            params, x, _mesh(), capacity_factor=2.0, top_k=top_k
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, err_msg=f"top_k={top_k}"
+        )
+
+
+def test_ep_a2a_quantized_experts():
+    from micronet_tpu.parallel.moe import moe_apply_ep_a2a
+
+    params, x = _setup(6)
+    qp = quantize_moe(params)
+    ref = _sharded_oracle(qp, x, 8, 2.0, 2)
+    got = moe_apply_ep_a2a(qp, x, _mesh(), capacity_factor=2.0, top_k=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_ep_a2a_gradients_match_sharded_dense():
+    from micronet_tpu.parallel.moe import moe_apply_ep_a2a
+
+    params, x = _setup(7)
+    mesh = _mesh()
+    tgt = jax.random.normal(jax.random.PRNGKey(9), (T, DIM))
+
+    def loss_ref(p, xi):
+        return jnp.mean((_sharded_oracle(p, xi, 8, 2.0, 2) - tgt) ** 2)
+
+    def loss_a2a(p, xi):
+        return jnp.mean(
+            (moe_apply_ep_a2a(p, xi, mesh, capacity_factor=2.0, top_k=2) - tgt)
+            ** 2
+        )
+
+    gd, gxd = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    ga, gxa = jax.grad(loss_a2a, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxd), atol=1e-5)
