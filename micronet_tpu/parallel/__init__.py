@@ -13,7 +13,7 @@ from .moe import (
     moe_apply_ep_a2a,
     quantize_moe,
 )
-from .pipeline import pipeline_apply, stack_stage_params
+from .pipeline import pipeline_apply, pipeline_apply_stateful, stack_stage_params
 from .sequence import attention_reference, ring_attention
 from .sharding import (
     channel_sharding_for,
@@ -32,6 +32,7 @@ __all__ = [
     "moe_apply_ep_a2a",
     "load_balance_loss",
     "pipeline_apply",
+    "pipeline_apply_stateful",
     "stack_stage_params",
     "ring_attention",
     "attention_reference",

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["pipeline_apply", "stack_stage_params"]
+__all__ = ["pipeline_apply", "pipeline_apply_stateful", "stack_stage_params"]
 
 
 def stack_stage_params(params_list):
@@ -98,3 +98,84 @@ def pipeline_apply(
         out_specs=P(),
         check_vma=False,
     )(stacked_params, x)
+
+
+def pipeline_apply_stateful(
+    stage_fn: Callable[[Any, Any, jax.Array], tuple],
+    stacked_params: Any,
+    stacked_state: Any,
+    x: jax.Array,  # (n_micro, micro_batch, ...) microbatched input
+    mesh: Mesh,
+    axis: str = "stage",
+):
+    """Pipeline with per-stage MUTABLE state riding the scan carry — the
+    composition of pipeline parallelism with the QAT framework (VERDICT r2
+    item 5): a stage can be a quantized nnx block whose observers, BN
+    running stats, and qparams update per microbatch.
+
+    ``stage_fn(stage_params, stage_state, h) -> (h_out, stage_state')``.
+    State updates are GATED to real microbatches: during warmup/drain
+    ticks a stage processes pipeline-bubble zeros, and its state update is
+    discarded (``where``-merge), so observers never ingest bubble garbage
+    — the semantic difference between pipelining a quantized model and a
+    pure function.
+
+    Returns ``(outputs, new_stacked_state)`` with outputs matching the
+    sequential fold ``for mb: for stage: h, st = stage_fn(p, st, h)``
+    exactly (per-stage microbatch order is preserved, so observer
+    trajectories match too). Differentiable in ``stacked_params``.
+    """
+    s = mesh.shape[axis]
+    n_micro = x.shape[0]
+    perm = [(i, (i + 1) % s) for i in range(s)]
+
+    def shard_fn(params, state, xs):
+        params = jax.tree.map(lambda a: a[0], params)
+        state_local = jax.tree.map(lambda a: a[0], state)
+        idx = jax.lax.axis_index(axis)
+        n_ticks = n_micro + s - 1
+        zero = jnp.zeros_like(xs[0])
+
+        def tick(carry, t):
+            recv, st = carry
+            x_in = jax.lax.dynamic_index_in_dim(
+                xs, jnp.minimum(t, n_micro - 1), keepdims=False
+            )
+            x0 = jnp.where(t < n_micro, 1.0, 0.0).astype(x_in.dtype) * x_in
+            h_in = jnp.where(idx == 0, x0, recv)
+            # Snapshot the pre-forward state: an nnx-backed stage_fn
+            # (merge → forward → split) mutates the *same* VariableState
+            # objects the input tree holds, so without a rebuilt tree the
+            # "old" branch of the where-merge below would already contain
+            # the bubble-tick update and the gating would be a no-op.
+            st_pre = jax.tree.map(lambda a: a, st)
+            h_out, st_new = stage_fn(params, st, h_in)
+            # device idx holds microbatch (t - idx): valid while in range
+            mb = t - idx
+            valid = jnp.logical_and(mb >= 0, mb < n_micro)
+            st = jax.tree.map(
+                lambda new, old: jnp.where(valid, new, old), st_new, st_pre
+            )
+            nxt = jax.lax.ppermute(h_out, axis, perm)
+            return (nxt, st), h_out
+
+        (_, st_final), outs = jax.lax.scan(
+            tick, (zero, state_local), jnp.arange(n_ticks)
+        )
+        result = outs[s - 1 : s - 1 + n_micro]
+        is_last = (idx == (s - 1)).astype(result.dtype)
+        out = jax.lax.psum(result * is_last, axis)
+        st_out = jax.tree.map(lambda a: a[None], st_final)  # re-stack dim
+        return out, st_out
+
+    from jax import shard_map
+
+    param_spec = jax.tree.map(lambda _: P(axis), stacked_params)
+    state_spec = jax.tree.map(lambda _: P(axis), stacked_state)
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(param_spec, state_spec, P()),
+        out_specs=(P(), state_spec),
+        check_vma=False,
+    )(stacked_params, stacked_state, x)

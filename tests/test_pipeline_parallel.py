@@ -93,3 +93,108 @@ def test_pipeline_trains():
         stacked, l = step(stacked)
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# round 3: pipeline-parallel QAT of a real quantized model (VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_stateful_quantized_stages_match_sequential():
+    """4 IAO bn-fused quant stages (observers + BN stats riding the scan
+    carry) through the pipeline == the sequential fold: outputs, final
+    observer/BN state, and parameter gradients."""
+    import numpy as np
+    from flax import nnx
+
+    from micronet_tpu.models.nin import ConvBNReLU
+    from micronet_tpu.nn import prepare, train_mode
+    from micronet_tpu.parallel.pipeline import (
+        pipeline_apply_stateful,
+        stack_stage_params,
+    )
+    from micronet_tpu.quant.config import QuantConfig
+
+    s, c, n_micro, micro = 4, 8, 8, 2
+    mesh = Mesh(np.array(jax.devices()[:s]), ("stage",))
+    cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
+
+    stages = []
+    for i in range(s):
+        blk = ConvBNReLU(c, c, kernel_size=3, stride=1, padding=1,
+                         rngs=nnx.Rngs(i))
+        q = prepare(blk, cfg, method="iao", inplace=True)
+        train_mode(q)
+        stages.append(q)
+    gdef, p0, r0 = nnx.split(stages[0], nnx.Param, ...)
+    params_list, rest_list = [p0], [r0]
+    for blk in stages[1:]:
+        _, p, r = nnx.split(blk, nnx.Param, ...)
+        params_list.append(p)
+        rest_list.append(r)
+    stacked_p = stack_stage_params(params_list)
+    stacked_r = stack_stage_params(rest_list)
+
+    def stage_fn(params, rest, h):
+        m = nnx.merge(gdef, params, rest)
+        out = m(h)
+        _, _, r2 = nnx.split(m, nnx.Param, ...)
+        return out, r2
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (n_micro, micro, 8, 8, c))
+
+    def pp_loss(sp):
+        out, st = pipeline_apply_stateful(stage_fn, sp, stacked_r, x, mesh)
+        return jnp.mean(out**2), (out, st)
+
+    (val, (out_pp, st_pp)), grad_pp = jax.jit(
+        jax.value_and_grad(pp_loss, has_aux=True)
+    )(stacked_p)
+
+    # sequential fold oracle: microbatch-major, stage state threads through.
+    # Both paths are jitted: compiled vs eager execution of the SAME quant
+    # forward differs by rounding-boundary flips (fusion changes a scale by
+    # 1 ULP, which flips round() for elements sitting on a .5 boundary), so
+    # the oracle must run under the same compilation regime.
+    def seq_loss(params_list_flat):
+        # re-wrap the state leaves inside this trace (merge reuses Variable
+        # objects; the originals were created at the outer trace level)
+        outs = []
+        new_rests = [jax.tree.map(jnp.asarray, r) for r in rest_list]
+        for mb in range(n_micro):
+            h = x[mb]
+            for si in range(s):
+                h, new_rests[si] = stage_fn(
+                    jax.tree.map(lambda a: a[si], params_list_flat),
+                    new_rests[si],
+                    h,
+                )
+            outs.append(h)
+        out = jnp.stack(outs)
+        return jnp.mean(out**2), (out, new_rests)
+
+    (val_seq, (out_seq, rests_seq)), grad_seq = jax.jit(
+        jax.value_and_grad(seq_loss, has_aux=True)
+    )(stacked_p)
+
+    # Tolerances: pipeline and oracle are *different XLA programs* over a
+    # quantized net — a ~1e-6 accumulation difference upstream of round()
+    # can flip isolated elements by one quant step (~scale ≈ 0.02 here),
+    # compounding slightly over 4 stages. Assert tight agreement in
+    # aggregate and allow isolated quant-step flips elementwise.
+    np.testing.assert_allclose(float(val), float(val_seq), rtol=1e-3)
+    out_a, out_b = np.asarray(out_pp), np.asarray(out_seq)
+    np.testing.assert_allclose(out_a, out_b, atol=0.06)
+    assert np.mean(np.abs(out_a - out_b)) < 1e-3
+    # final quant/BN state parity per stage (observers saw the same
+    # microbatch sequence; bubble ticks were gated out)
+    for si in range(s):
+        st_seq_i = rests_seq[si]
+        st_pp_i = jax.tree.map(lambda a: a[si], st_pp)
+        for a, b in zip(jax.tree.leaves(st_pp_i), jax.tree.leaves(st_seq_i)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4,
+                err_msg=f"stage {si} quant state diverged",
+            )
+    for a, b in zip(jax.tree.leaves(grad_pp), jax.tree.leaves(grad_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
