@@ -61,16 +61,16 @@ def _model_size_mb(model, w_bits: int) -> float:
             continue
         seen.add(id(m))
         if isinstance(m, qtypes):
-            q_bits += int(np.prod(m.weight.value.shape)) * w_bits
+            q_bits += int(np.prod(m.weight[...].shape)) * w_bits
             if getattr(m, "bias", None) is not None:
-                f_bits += int(np.prod(m.bias.value.shape)) * 32
+                f_bits += int(np.prod(m.bias[...].shape)) * 32
         elif isinstance(m, (M.Conv2d, M.Linear)):
-            f_bits += int(np.prod(m.weight.value.shape)) * 32
+            f_bits += int(np.prod(m.weight[...].shape)) * 32
             if getattr(m, "bias", None) is not None:
-                f_bits += int(np.prod(m.bias.value.shape)) * 32
+                f_bits += int(np.prod(m.bias[...].shape)) * 32
         elif isinstance(m, M.BatchNorm2d):
             for v in (m.weight, m.bias, m.running_mean, m.running_var):
-                f_bits += int(np.prod(v.value.shape)) * 32
+                f_bits += int(np.prod(v[...].shape)) * 32
     return (q_bits + f_bits) / 8 / 1e6
 
 
@@ -86,9 +86,9 @@ def _params_m(model) -> float:
         for name in ("weight", "bias"):
             v = getattr(m, name, None)
             if v is not None and hasattr(v, "value"):
-                total += int(np.prod(v.value.shape))
+                total += int(np.prod(v[...].shape))
         if isinstance(m, M.BatchNorm2d):
-            total += 2 * int(np.prod(m.weight.value.shape))
+            total += 2 * int(np.prod(m.weight[...].shape))
     return total / 1e6
 
 
@@ -176,9 +176,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--train_size", type=int, default=8192)
+    ap.add_argument("--noise", type=float, default=2.4,
+                    help="synthetic-set difficulty: 2.4 puts fp32 near "
+                    "CIFAR-10 accuracy so bit-width deltas are visible")
     ap.add_argument("--out", default=os.path.join(ROOT, "ACC_TABLE.json"))
     ap.add_argument("--skip_prune", action="store_true")
     args = ap.parse_args(argv)
+    os.environ["MICRONET_SYNTHETIC_NOISE"] = str(args.noise)
 
     from micronet_tpu.models import nin_gc
     from micronet_tpu.quant.config import QuantConfig
@@ -243,6 +247,7 @@ def main(argv=None):
             "train_size": int(data.train_images.shape[0]),
             "test_size": int(data.test_images.shape[0]),
             "epochs": args.epochs,
+            "noise": args.noise,
             "batch_size": 256,
             "seed": 1,
             "device": str(jax.devices()[0]),

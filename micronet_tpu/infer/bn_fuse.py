@@ -44,22 +44,22 @@ __all__ = ["fuse_bn_iao", "fuse_bn_wbwtab", "pre_quantize_weights"]
 def _copy_quantizer_state(dst: qat_iao.FakeQuantizer, src: qat_iao.FakeQuantizer):
     """Carry scale/zero_point (+ observer range) into the inference model
     (iao/bn_fuse/bn_fuse.py:57-64)."""
-    dst.scale.value = src.scale.value
-    dst.zero_point.value = src.zero_point.value
-    dst.min_val.value = src.min_val.value
-    dst.max_val.value = src.max_val.value
-    dst.initialized.value = src.initialized.value
+    dst.scale[...] = src.scale[...]
+    dst.zero_point[...] = src.zero_point[...]
+    dst.min_val[...] = src.min_val[...]
+    dst.max_val[...] = src.max_val[...]
+    dst.initialized[...] = src.initialized[...]
 
 
 def _fuse_iao_conv(
     bn_conv: qat_iao.QuantBNFuseConv2d, cfg: QuantConfig, rngs: nnx.Rngs
 ) -> qat_iao.QuantConv2d:
-    mean = bn_conv.running_mean.value
-    std = jnp.sqrt(bn_conv.running_var.value + bn_conv.eps)
-    gamma = bn_conv.gamma.value
-    beta = bn_conv.beta.value
-    w = bn_conv.weight.value  # HWIO: out-channel broadcast on last axis
-    b = bn_conv.bias.value if bn_conv.bias is not None else jnp.zeros_like(mean)
+    mean = bn_conv.running_mean[...]
+    std = jnp.sqrt(bn_conv.running_var[...] + bn_conv.eps)
+    gamma = bn_conv.gamma[...]
+    beta = bn_conv.beta[...]
+    w = bn_conv.weight[...]  # HWIO: out-channel broadcast on last axis
+    b = bn_conv.bias[...] if bn_conv.bias is not None else jnp.zeros_like(mean)
     w_fused = w * (gamma / std)
     b_fused = beta + (b - mean) * (gamma / std)
 
@@ -68,8 +68,8 @@ def _fuse_iao_conv(
         rngs=rngs,
         **{**_conv_args(bn_conv), "bias": True},
     )
-    q.weight.value = w_fused
-    q.bias.value = b_fused
+    q.weight[...] = w_fused
+    q.bias[...] = b_fused
     _copy_quantizer_state(q.activation_quantizer, bn_conv.activation_quantizer)
     _copy_quantizer_state(q.weight_quantizer, bn_conv.weight_quantizer)
     return q
@@ -118,14 +118,14 @@ def pre_quantize_weights(model: nnx.Module) -> nnx.Module:
                 continue
             from ..quant.quantizers import fake_quant
 
-            m.weight.value = fake_quant(
-                m.weight.value,
-                wq.scale.value,
-                wq.zero_point.value,
+            m.weight[...] = fake_quant(
+                m.weight[...],
+                wq.scale[...],
+                wq.zero_point[...],
                 wq.qmin,
                 wq.qmax,
-                wq.min_val.value,
-                wq.max_val.value,
+                wq.min_val[...],
+                wq.max_val[...],
                 wq.symmetric,
             )
         elif isinstance(
@@ -133,8 +133,8 @@ def pre_quantize_weights(model: nnx.Module) -> nnx.Module:
         ):
             from ..quant import wbwtab as wbq
 
-            q, _ = wbq.quantize_weight(m.weight.value, m.W)
-            m.weight.value = q
+            q, _ = wbq.quantize_weight(m.weight[...], m.W)
+            m.weight[...] = q
         elif isinstance(
             m,
             (
@@ -145,7 +145,7 @@ def pre_quantize_weights(model: nnx.Module) -> nnx.Module:
         ):
             from ..quant import dorefa as dfq
 
-            m.weight.value = dfq.quantize_weight(m.weight.value, m.w_bits)
+            m.weight[...] = dfq.quantize_weight(m.weight[...], m.w_bits)
     return model
 
 
@@ -181,13 +181,13 @@ def fuse_bn_wbwtab(
     def fuse_pair(conv, bn):
         counter[0] += 1
         k = counter[0]
-        mean = np.asarray(bn.running_mean.value)
-        std = np.sqrt(np.asarray(bn.running_var.value) + bn.eps)
-        gamma = np.asarray(bn.weight.value)
-        beta = np.asarray(bn.bias.value)
-        w = np.asarray(conv.weight.value)  # HWIO
+        mean = np.asarray(bn.running_mean[...])
+        std = np.sqrt(np.asarray(bn.running_var[...]) + bn.eps)
+        gamma = np.asarray(bn.weight[...])
+        beta = np.asarray(bn.bias[...])
+        w = np.asarray(conv.weight[...])  # HWIO
         b = (
-            np.asarray(conv.bias.value)
+            np.asarray(conv.bias[...])
             if conv.bias is not None
             else np.zeros_like(mean)
         )
@@ -207,8 +207,8 @@ def fuse_bn_wbwtab(
             out = qat_wbwtab.QuantConv2d(cfg=cfg, rngs=rngs, **args)
         else:
             out = M.Conv2d(rngs=rngs, **args)
-        out.weight.value = jnp.asarray(w_fused)
-        out.bias.value = jnp.asarray(b_fused)
+        out.weight[...] = jnp.asarray(w_fused)
+        out.bias[...] = jnp.asarray(b_fused)
         return out
 
     def rec(module: nnx.Module) -> None:

@@ -67,7 +67,7 @@ def _maybe_pack_w4(mod, w_q_2d) -> None:
     from ..ops.int4_matmul import pack_int4
 
     if w_q_2d.shape[0] % 2 == 0:
-        mod.w_q.value = pack_int4(w_q_2d)
+        mod.w_q[...] = pack_int4(w_q_2d)
         mod.w_packed = True
 
 
@@ -154,20 +154,20 @@ class IntConv2d(OrderedModule):
 
     def _weights(self) -> jax.Array:
         if not self.w_packed:
-            return self.w_q.value
+            return self.w_q[...]
         from ..ops.int4_matmul import unpack_int4
 
         kh, kw, cg, co = self.w_shape
-        return unpack_int4(self.w_q.value).reshape(kh, kw, cg, co)
+        return unpack_int4(self.w_q[...]).reshape(kh, kw, cg, co)
 
     def _epilogue(self, acc: jax.Array, s_x) -> jax.Array:
         """acc (int32 or f32) -> f32 output or requantized int8 output."""
-        out = acc.astype(jnp.float32) * (s_x * self.w_scale.value)
+        out = acc.astype(jnp.float32) * (s_x * self.w_scale[...])
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         if not self.chained:
             return out
-        q = round_half_away(out / self.out_scale.value)
+        q = round_half_away(out / self.out_scale[...])
         return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
 
     def _pointwise_fast_path_ok(self, x: jax.Array) -> bool:
@@ -203,11 +203,11 @@ class IntConv2d(OrderedModule):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            out = acc.astype(jnp.float32) * (s_x * self.w_scale.value)
+            out = acc.astype(jnp.float32) * (s_x * self.w_scale[...])
             if self.bias is not None:
-                out = out + self.bias.value
+                out = out + self.bias[...]
             if self.chained:
-                q = round_half_away(out / self.out_scale.value)
+                q = round_half_away(out / self.out_scale[...])
                 out = jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
             return out.reshape(n, h, w_, co)
         # grouped: batched dot over the group axis; outputs (g, M, og)
@@ -220,18 +220,18 @@ class IntConv2d(OrderedModule):
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
         )
-        ws = self.w_scale.value.reshape(g, 1, og)
+        ws = self.w_scale[...].reshape(g, 1, og)
         out = acc.astype(jnp.float32) * (s_x * ws)
         if self.bias is not None:
-            out = out + self.bias.value.reshape(g, 1, og)
+            out = out + self.bias[...].reshape(g, 1, og)
         if self.chained:
-            q = round_half_away(out / self.out_scale.value)
+            q = round_half_away(out / self.out_scale[...])
             out = jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
         return out.transpose(1, 0, 2).reshape(n, h, w_, co)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        s_x = self.act_scale.value
-        zp = self.act_zero_point.value
+        s_x = self.act_scale[...]
+        zp = self.act_zero_point[...]
         if self._pointwise_fast_path_ok(x):
             # fused Pallas path: grouped 1x1 matmul + dequant + bias +
             # requant in one kernel; int32/f32 intermediates stay in VMEM
@@ -240,17 +240,17 @@ class IntConv2d(OrderedModule):
             n, h, w_, c = x.shape
             co = self.w_shape[3]
             bias = (
-                self.bias.value
+                self.bias[...]
                 if self.bias is not None
                 else jnp.zeros((co,), jnp.float32)
             )
             out = int8_grouped_pointwise(
                 x.reshape(n * h * w_, c),
                 self._weights()[0, 0],
-                self.w_scale.value,
+                self.w_scale[...],
                 bias,
                 s_x,
-                self.out_scale.value,
+                self.out_scale[...],
                 groups=self.groups,
                 bm=8192,
             )
@@ -284,7 +284,7 @@ class IntConv2d(OrderedModule):
         w_int8 = self._weights()
         if self.f32_dequant and self.symmetric and self.w_symmetric:
             x_dq = x_q.astype(jnp.float32) * s_x
-            w_dq = w_int8.astype(jnp.float32) * self.w_scale.value
+            w_dq = w_int8.astype(jnp.float32) * self.w_scale[...]
             out = jax.lax.conv_general_dilated(
                 x_dq,
                 w_dq,
@@ -295,10 +295,10 @@ class IntConv2d(OrderedModule):
                 feature_group_count=self.groups,
             )
             if self.bias is not None:
-                out = out + self.bias.value
+                out = out + self.bias[...]
             if not self.chained:
                 return out
-            q = round_half_away(out / self.out_scale.value)
+            q = round_half_away(out / self.out_scale[...])
             return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
         if self.bf16_codes and self.symmetric and self.w_symmetric:
             # codes-as-bf16 conv: exact (see __init__) and rides the MXU's
@@ -349,7 +349,7 @@ class IntConv2d(OrderedModule):
             # weight zero point: w_int = w_q0 + (128 - zp_w); the cross
             # terms need the per-position input-window sum (one conv with a
             # ones kernel, one output per group) and the window count
-            wz = 128.0 + self.w_zp.value  # (O,): w_int = (q0_w - 128) + 128 + zp_w
+            wz = 128.0 + self.w_zp[...]  # (O,): w_int = (q0_w - 128) + 128 + zp_w
             ones_ker = jnp.ones((kh, kw, cg, g), jnp.int8)
             sum_x = conv_like(x_q, ones_ker, jnp.int32).astype(jnp.float32)
             sum_x = jnp.repeat(sum_x, co // g, axis=-1)
@@ -416,8 +416,8 @@ class IntConvTranspose2d(OrderedModule):
         ).astype(jnp.float32)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        s_x = self.act_scale.value
-        zp = self.act_zero_point.value
+        s_x = self.act_scale[...]
+        zp = self.act_zero_point[...]
         if x.dtype == jnp.int8:
             x_q = x
         elif self.symmetric:
@@ -427,19 +427,19 @@ class IntConvTranspose2d(OrderedModule):
             q0 = round_half_away(x.astype(jnp.float32) / s_x) - zp
             q0 = jnp.clip(q0, self.a_qmin, self.a_qmax)
             x_q = (q0 - 128.0).astype(jnp.int8)
-        acc = self._convt(x_q, self.w_q.value)
+        acc = self._convt(x_q, self.w_q[...])
         ones_in = jnp.ones(x.shape[:3] + (x.shape[3],), jnp.int8)
         if not self.symmetric:
-            acc = acc + (128.0 + zp) * self._convt(ones_in, self.w_q.value)
+            acc = acc + (128.0 + zp) * self._convt(ones_in, self.w_q[...])
         if not self.w_symmetric:
-            sh_w = 128.0 + self.w_zp.value  # scalar (layer-level)
-            ones_ker = jnp.ones_like(self.w_q.value)
+            sh_w = 128.0 + self.w_zp[...]  # scalar (layer-level)
+            ones_ker = jnp.ones_like(self.w_q[...])
             acc = acc + sh_w * self._convt(x_q, ones_ker)
             if not self.symmetric:
                 acc = acc + (128.0 + zp) * sh_w * self._convt(ones_in, ones_ker)
-        out = acc * (s_x * self.w_scale.value)
+        out = acc * (s_x * self.w_scale[...])
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return out
 
 
@@ -461,14 +461,14 @@ class IntMaxPool2d(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..nn import functional as F
 
-        s = self.act_scale.value
+        s = self.act_scale[...]
         if x.dtype != jnp.int8:
             q = round_half_away(x.astype(jnp.float32) / s)
             x = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
         y = F.max_pool2d(x, self.kernel_size, self.stride, self.padding)
         if self.chained:
             # pure rescale requant int8 -> int8
-            q = round_half_away(y.astype(jnp.float32) * (s / self.out_scale.value))
+            q = round_half_away(y.astype(jnp.float32) * (s / self.out_scale[...]))
             return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
         return y.astype(jnp.float32) * s
 
@@ -490,7 +490,7 @@ class IntAvgPool2d(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..nn import functional as F
 
-        s = self.act_scale.value
+        s = self.act_scale[...]
         if x.dtype != jnp.int8:
             q = round_half_away(x.astype(jnp.float32) / s)
             x = jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
@@ -517,14 +517,14 @@ class IntAdd(OrderedModule):
     def _inq(self, x: jax.Array) -> jax.Array:
         if x.dtype == jnp.int8:
             return x
-        q = round_half_away(x.astype(jnp.float32) / self.act_scale.value)
+        q = round_half_away(x.astype(jnp.float32) / self.act_scale[...])
         return jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
 
     def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        s = self.act_scale.value
+        s = self.act_scale[...]
         acc = self._inq(a).astype(jnp.int32) + self._inq(b).astype(jnp.int32)
         if self.chained:
-            q = round_half_away(acc.astype(jnp.float32) * (s / self.out_scale.value))
+            q = round_half_away(acc.astype(jnp.float32) * (s / self.out_scale[...]))
             return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
         return acc.astype(jnp.float32) * s
 
@@ -544,14 +544,14 @@ class IntConcat(OrderedModule):
     def _inq(self, x: jax.Array) -> jax.Array:
         if x.dtype == jnp.int8:
             return x
-        q = round_half_away(x.astype(jnp.float32) / self.act_scale.value)
+        q = round_half_away(x.astype(jnp.float32) / self.act_scale[...])
         return jnp.clip(q, self.a_qmin, self.a_qmax).astype(jnp.int8)
 
     def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        s = self.act_scale.value
+        s = self.act_scale[...]
         cat = jnp.concatenate([self._inq(a), self._inq(b)], axis=self.axis)
         if self.chained:
-            q = round_half_away(cat.astype(jnp.float32) * (s / self.out_scale.value))
+            q = round_half_away(cat.astype(jnp.float32) * (s / self.out_scale[...]))
             return jnp.clip(q, self.out_qmin, self.out_qmax).astype(jnp.int8)
         return cat.astype(jnp.float32) * s
 
@@ -581,23 +581,23 @@ class IntLinear(OrderedModule):
 
     def _weights(self) -> jax.Array:
         if not self.w_packed:
-            return self.w_q.value
+            return self.w_q[...]
         from ..ops.int4_matmul import unpack_int4
 
-        return unpack_int4(self.w_q.value)
+        return unpack_int4(self.w_q[...])
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.symmetric and self.w_symmetric:
             return int8_linear(
                 x,
                 self._weights(),
-                self.w_scale.value,
-                self.act_scale.value,
-                self.act_zero_point.value,
-                None if self.bias is None else self.bias.value,
+                self.w_scale[...],
+                self.act_scale[...],
+                self.act_zero_point[...],
+                None if self.bias is None else self.bias[...],
             )
-        s_x = self.act_scale.value
-        zp = self.act_zero_point.value
+        s_x = self.act_scale[...]
+        zp = self.act_zero_point[...]
         lead, k = x.shape[:-1], x.shape[-1]
         x2 = x.reshape(-1, k).astype(jnp.float32)
         if self.symmetric:
@@ -621,7 +621,7 @@ class IntLinear(OrderedModule):
             # w_int = w_q + (128 + zp_w[o]); expand the product:
             # x_int.w_int = x_q.w_q + sh_w.rowsum_x + sh_x.colsum_w
             #               + K.sh_x.sh_w
-            sh_w = 128.0 + self.w_zp.value  # (O,)
+            sh_w = 128.0 + self.w_zp[...]  # (O,)
             rowsum_x = jnp.sum(x_q.astype(jnp.int32), axis=1).astype(jnp.float32)
             acc = (
                 acc
@@ -629,9 +629,9 @@ class IntLinear(OrderedModule):
                 + sh_x * colsum_w[None, :]
                 + float(k) * sh_x * sh_w[None, :]
             )
-        out = acc * (s_x * self.w_scale.value)[None, :]
+        out = acc * (s_x * self.w_scale[...])[None, :]
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return out.reshape(*lead, w_q.shape[1])
 
 
@@ -643,11 +643,11 @@ def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
             "int engine freezes 2..8-bit weights/activations (int8 storage; "
             "sub-8-bit values ride int8 with narrower clip ranges)"
         )
-    w_scale = wq_state.scale.value.reshape(-1)  # (O,) or (1,)
-    w_scale = jnp.broadcast_to(w_scale, (m.weight.value.shape[3],))
+    w_scale = wq_state.scale[...].reshape(-1)  # (O,) or (1,)
+    w_scale = jnp.broadcast_to(w_scale, (m.weight[...].shape[3],))
     if wq_state.symmetric:
         w_q = _quantize_weight_int8(
-            m.weight.value, w_scale, wq_state.qmin, wq_state.qmax
+            m.weight[...], w_scale, wq_state.qmin, wq_state.qmax
         )
         w_zp = None
     else:
@@ -655,18 +655,18 @@ def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
         # store q0 - 128 (fits int8), shift 128 + zp_w folds into the
         # correction terms
         zp_w = jnp.broadcast_to(
-            wq_state.zero_point.value.reshape(-1), (m.weight.value.shape[3],)
+            wq_state.zero_point[...].reshape(-1), (m.weight[...].shape[3],)
         )
-        q0 = round_half_away(m.weight.value / w_scale - zp_w)
+        q0 = round_half_away(m.weight[...] / w_scale - zp_w)
         q0 = jnp.clip(q0, wq_state.qmin, wq_state.qmax)
         w_q = (q0 - 128.0).astype(jnp.int8)
         w_zp = zp_w
     out = IntConv2d(
         w_q,
         w_scale,
-        aq.scale.value.reshape(()),
-        aq.zero_point.value.reshape(()),
-        None if m.bias is None else m.bias.value,
+        aq.scale[...].reshape(()),
+        aq.zero_point[...].reshape(()),
+        None if m.bias is None else m.bias[...],
         m.stride,
         m.padding,
         m.dilation,
@@ -678,7 +678,7 @@ def _freeze_conv(m: qat_iao.QuantConv2d) -> IntConv2d:
         out.w_symmetric = False
         # stored pattern w_q0 = q_w - 128; its zero point relative to the
         # dequant w = (q_w - zp_w) s_w is (zp_w - 128)... fold as zp_w
-        out.w_zp.value = jnp.asarray(w_zp, jnp.float32)
+        out.w_zp[...] = jnp.asarray(w_zp, jnp.float32)
     elif wq_state.bits <= 4:
         kh, kw, cg, co = out.w_shape
         _maybe_pack_w4(out, w_q.reshape(kh * kw * cg, co))
@@ -692,24 +692,24 @@ def _freeze_convt(m: qat_iao.QuantConvTranspose2d) -> IntConvTranspose2d:
         raise NotImplementedError(
             "int engine freezes 2..8-bit weights/activations"
         )
-    w_scale = wq_state.scale.value.reshape(())  # layer-level scalar
+    w_scale = wq_state.scale[...].reshape(())  # layer-level scalar
     if wq_state.symmetric:
         w_q = _quantize_weight_int8(
-            m.weight.value, w_scale, wq_state.qmin, wq_state.qmax
+            m.weight[...], w_scale, wq_state.qmin, wq_state.qmax
         )
         w_zp = None
     else:
-        zp_w = wq_state.zero_point.value.reshape(())
-        q0 = round_half_away(m.weight.value / w_scale - zp_w)
+        zp_w = wq_state.zero_point[...].reshape(())
+        q0 = round_half_away(m.weight[...] / w_scale - zp_w)
         q0 = jnp.clip(q0, wq_state.qmin, wq_state.qmax)
         w_q = (q0 - 128.0).astype(jnp.int8)
         w_zp = zp_w
     out = IntConvTranspose2d(
         w_q,
         w_scale,
-        aq.scale.value.reshape(()),
-        aq.zero_point.value.reshape(()),
-        None if m.bias is None else m.bias.value,
+        aq.scale[...].reshape(()),
+        aq.zero_point[...].reshape(()),
+        None if m.bias is None else m.bias[...],
         m.stride,
         m.padding,
         m.output_padding,
@@ -720,7 +720,7 @@ def _freeze_convt(m: qat_iao.QuantConvTranspose2d) -> IntConvTranspose2d:
     )
     if w_zp is not None:
         out.w_symmetric = False
-        out.w_zp.value = jnp.asarray(w_zp, jnp.float32)
+        out.w_zp[...] = jnp.asarray(w_zp, jnp.float32)
     return out
 
 
@@ -732,34 +732,34 @@ def _freeze_linear(m: qat_iao.QuantLinear) -> IntLinear:
             "int engine freezes 2..8-bit weights/activations"
         )
     w_scale = jnp.broadcast_to(
-        wq_state.scale.value.reshape(-1), (m.weight.value.shape[1],)
+        wq_state.scale[...].reshape(-1), (m.weight[...].shape[1],)
     )
     if wq_state.symmetric:
         w_q = _quantize_weight_int8(
-            m.weight.value, w_scale, wq_state.qmin, wq_state.qmax
+            m.weight[...], w_scale, wq_state.qmin, wq_state.qmax
         )
         w_zp = None
     else:
         # asymmetric weights: same -128 storage shift as _freeze_conv
         zp_w = jnp.broadcast_to(
-            wq_state.zero_point.value.reshape(-1), (m.weight.value.shape[1],)
+            wq_state.zero_point[...].reshape(-1), (m.weight[...].shape[1],)
         )
-        q0 = round_half_away(m.weight.value / w_scale - zp_w)
+        q0 = round_half_away(m.weight[...] / w_scale - zp_w)
         q0 = jnp.clip(q0, wq_state.qmin, wq_state.qmax)
         w_q = (q0 - 128.0).astype(jnp.int8)
         w_zp = zp_w
     out = IntLinear(
         w_q,
         w_scale,
-        aq.scale.value.reshape(()),
-        aq.zero_point.value.reshape(()),
-        None if m.bias is None else m.bias.value,
+        aq.scale[...].reshape(()),
+        aq.zero_point[...].reshape(()),
+        None if m.bias is None else m.bias[...],
         aq.qmin,
         aq.qmax,
     )
     if w_zp is not None:
         out.w_symmetric = False
-        out.w_zp.value = jnp.asarray(w_zp, jnp.float32)
+        out.w_zp[...] = jnp.asarray(w_zp, jnp.float32)
     elif wq_state.bits <= 4:
         _maybe_pack_w4(out, w_q)
     return out
@@ -774,7 +774,10 @@ def freeze_int(
     example_input: Optional[jax.Array] = None,
 ) -> nnx.Module:
     """Convert a BN-fused, weight-pre-quantized inference model to the
-    integer engine. Symmetric (q_type=0) W8A8 models only for now.
+    integer engine. Handles symmetric and asymmetric (q_type 0/1)
+    quantization at bits <= 8, with nibble-packed storage for W4
+    (``_maybe_pack_w4``) and ConvTranspose; 1-bit freeze is guarded with
+    ``NotImplementedError``.
 
     With ``chain_int8`` the planner wires each emitter's requantizing
     epilogue to the NEXT quantized layer's activation scale whenever only
@@ -801,7 +804,7 @@ def freeze_int(
         if aq.bits > 8 or aq.bits == 1 or not aq.symmetric:
             return m
         pool = IntMaxPool2d(
-            m.kernel_size, m.stride, m.padding, aq.scale.value.reshape(())
+            m.kernel_size, m.stride, m.padding, aq.scale[...].reshape(())
         )
         pool.a_qmin, pool.a_qmax = aq.qmin, aq.qmax
         return pool
@@ -812,10 +815,10 @@ def freeze_int(
             return m
         if isinstance(m, qat_iao.QuantAdaptiveAvgPool2d):
             return IntAvgPool2d(
-                None, None, None, aq.scale.value.reshape(()), m.output_size
+                None, None, None, aq.scale[...].reshape(()), m.output_size
             )
         return IntAvgPool2d(
-            m.kernel_size, m.stride, m.padding, aq.scale.value.reshape(())
+            m.kernel_size, m.stride, m.padding, aq.scale[...].reshape(())
         )
 
     def _freeze_addcat(m):
@@ -823,8 +826,8 @@ def freeze_int(
         if aq.bits > 8 or aq.bits == 1 or not aq.symmetric:
             return m
         if isinstance(m, qat_iao.QuantConcat):
-            return IntConcat(m.axis, aq.scale.value.reshape(()), aq.qmin, aq.qmax)
-        return IntAdd(aq.scale.value.reshape(()), aq.qmin, aq.qmax)
+            return IntConcat(m.axis, aq.scale[...].reshape(()), aq.qmin, aq.qmax)
+        return IntAdd(aq.scale[...].reshape(()), aq.qmin, aq.qmax)
 
     def rec(module: nnx.Module) -> None:
         for _, child, set_child in _children(module):
@@ -911,7 +914,7 @@ def _is_receiver(m) -> bool:
 
 def _link(emitter, receiver) -> None:
     emitter.chained = True
-    emitter.out_scale.value = receiver.act_scale.value
+    emitter.out_scale[...] = receiver.act_scale[...]
     emitter.out_qmin = receiver.a_qmin
     emitter.out_qmax = receiver.a_qmax
 
@@ -1022,10 +1025,10 @@ class TernaryConv2d(OrderedModule):
         # max-pool of signs); the cast is value-preserving
         x_q = x.astype(jnp.int8) if x.dtype != jnp.int8 else x
         lhs, rhs, pref = (
-            (x_q.astype(jnp.bfloat16), self.w_t.value.astype(jnp.bfloat16),
+            (x_q.astype(jnp.bfloat16), self.w_t[...].astype(jnp.bfloat16),
              jnp.float32)
             if self.bf16_codes
-            else (x_q, self.w_t.value, jnp.int32)
+            else (x_q, self.w_t[...], jnp.int32)
         )
         acc = jax.lax.conv_general_dilated(
             lhs,
@@ -1037,9 +1040,9 @@ class TernaryConv2d(OrderedModule):
             feature_group_count=self.groups,
             preferred_element_type=pref,
         )
-        out = acc.astype(jnp.float32) * self.alpha.value
+        out = acc.astype(jnp.float32) * self.alpha[...]
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return out
 
 
@@ -1056,14 +1059,14 @@ def freeze_wbwtab(model: nnx.Module, *, inplace: bool = False) -> nnx.Module:
         model = _copy_model(model)
 
     def freeze(conv):
-        w = conv.weight.value  # = t * alpha, alpha >= 0 per out channel
+        w = conv.weight[...]  # = t * alpha, alpha >= 0 per out channel
         alpha = jnp.max(jnp.abs(w), axis=(0, 1, 2))  # (O,)
         safe = jnp.maximum(alpha, 1e-12)
         w_t = round_half_away(w / safe).astype(jnp.int8)
         return TernaryConv2d(
             w_t,
             alpha,
-            None if conv.bias is None else conv.bias.value,
+            None if conv.bias is None else conv.bias[...],
             conv.stride,
             conv.padding,
             conv.dilation,

@@ -38,7 +38,7 @@ class RMSNorm(OrderedModule):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        return (x * jax.lax.rsqrt(ms + 1e-6) * self.weight.value).astype(x.dtype)
+        return (x * jax.lax.rsqrt(ms + 1e-6) * self.weight[...]).astype(x.dtype)
 
 
 class MoEMLP(OrderedModule):
@@ -75,11 +75,11 @@ class MoEMLP(OrderedModule):
 
     def params(self) -> MoEParams:
         return MoEParams(
-            router=self.router.value,
-            w_up=self.w_up.value,
-            w_down=self.w_down.value,
-            up_scale=None if self.up_scale is None else self.up_scale.value,
-            down_scale=None if self.down_scale is None else self.down_scale.value,
+            router=self.router[...],
+            w_up=self.w_up[...],
+            w_down=self.w_down[...],
+            up_scale=None if self.up_scale is None else self.up_scale[...],
+            down_scale=None if self.down_scale is None else self.down_scale[...],
         )
 
     def quantize_(self) -> None:
@@ -201,7 +201,7 @@ class TinyDecoder(OrderedModule):
         """Prefill (T>1) or decode (T==1) step: logits (T, vocab) + caches."""
         t = tokens.shape[0]
         pos_ids = offset + jnp.arange(t)
-        x = self.embed.value[tokens] + self.pos.value[pos_ids]
+        x = self.embed[...][tokens] + self.pos[...][pos_ids]
         new_caches = []
         for blk, cache in zip(self.blocks, caches):
             x, cache = blk(x, cache, offset)

@@ -179,8 +179,8 @@ class Conv2d(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         return F.conv2d(
             x,
-            self.weight.value,
-            None if self.bias is None else self.bias.value,
+            self.weight[...],
+            None if self.bias is None else self.bias[...],
             self.stride,
             self.padding,
             self.dilation,
@@ -231,8 +231,8 @@ class ConvTranspose2d(OrderedModule):
     def __call__(self, x: jax.Array) -> jax.Array:
         return F.conv_transpose2d(
             x,
-            self.weight.value,
-            None if self.bias is None else self.bias.value,
+            self.weight[...],
+            None if self.bias is None else self.bias[...],
             self.stride,
             self.padding,
             self.output_padding,
@@ -259,7 +259,7 @@ class Linear(OrderedModule):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return F.linear(
-            x, self.weight.value, None if self.bias is None else self.bias.value
+            x, self.weight[...], None if self.bias is None else self.bias[...]
         )
 
 
@@ -298,17 +298,17 @@ class BatchNorm2d(OrderedModule):
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))
             m = self.momentum
-            self.running_mean.value = (
-                (1 - m) * self.running_mean.value + m * jax.lax.stop_gradient(mean)
+            self.running_mean[...] = (
+                (1 - m) * self.running_mean[...] + m * jax.lax.stop_gradient(mean)
             )
-            self.running_var.value = (
-                (1 - m) * self.running_var.value + m * jax.lax.stop_gradient(unbiased)
+            self.running_var[...] = (
+                (1 - m) * self.running_var[...] + m * jax.lax.stop_gradient(unbiased)
             )
         else:
-            mean = self.running_mean.value
-            var = self.running_var.value
-        inv = jax.lax.rsqrt(var + self.eps) * self.weight.value
-        return ((x - mean) * inv + self.bias.value).astype(x.dtype)
+            mean = self.running_mean[...]
+            var = self.running_var[...]
+        inv = jax.lax.rsqrt(var + self.eps) * self.weight[...]
+        return ((x - mean) * inv + self.bias[...]).astype(x.dtype)
 
 
 class ReLU(OrderedModule):

@@ -47,10 +47,10 @@ class QuantConv2d(Conv2d):
         self.act_codes = _act_codes_enabled(cfg)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = dorefa.quantize_weight(w, self.w_bits)
-        bias = None if self.bias is None else self.bias.value
+        bias = None if self.bias is None else self.bias[...]
         if self.act_codes:
             c, s = dorefa.activation_codes(x, self.a_bits)
             return _codes_out(
@@ -83,10 +83,10 @@ class QuantConvTranspose2d(ConvTranspose2d):
         self.act_codes = _act_codes_enabled(cfg)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = dorefa.quantize_weight(w, self.w_bits)
-        bias = None if self.bias is None else self.bias.value
+        bias = None if self.bias is None else self.bias[...]
         if self.act_codes:
             c, s = dorefa.activation_codes(x, self.a_bits)
             return _codes_out(
@@ -121,10 +121,10 @@ class QuantLinear(Linear):
         self.act_codes = _act_codes_enabled(cfg)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = dorefa.quantize_weight(w, self.w_bits)
-        bias = None if self.bias is None else self.bias.value
+        bias = None if self.bias is None else self.bias[...]
         if self.act_codes:
             c, s = dorefa.activation_codes(x, self.a_bits)
             return _codes_out(

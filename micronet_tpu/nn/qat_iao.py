@@ -139,43 +139,43 @@ class FakeQuantizer(OrderedModule):
         forward, iao/quantize.py:39-139)."""
         if self.observer == "entropy":
             est = EntropyState(
-                self.ent_counts.value, self.ent_absmax.value, self.initialized.value
+                self.ent_counts[...], self.ent_absmax[...], self.initialized[...]
             )
             est = entropy_update(est, x)
-            self.ent_counts.value = est.counts
-            self.ent_absmax.value = est.absmax
-            self.initialized.value = est.initialized
+            self.ent_counts[...] = est.counts
+            self.ent_absmax[...] = est.absmax
+            self.initialized[...] = est.initialized
             return
         if self.observer == "histogram":
             state = HistogramState(
-                self.min_val.value, self.max_val.value, self.initialized.value
+                self.min_val[...], self.max_val[...], self.initialized[...]
             )
             state = histogram_update(state, x, self.percentile, self.momentum)
         else:
             state = MinMaxState(
-                self.min_val.value, self.max_val.value, self.initialized.value
+                self.min_val[...], self.max_val[...], self.initialized[...]
             )
             if self.observer == "minmax":
                 state = minmax_update(state, x, self.axes)
             else:
                 state = ema_minmax_update(state, x, self.axes, self.momentum)
-        self.min_val.value = state.min_val
-        self.max_val.value = state.max_val
-        self.initialized.value = state.initialized
+        self.min_val[...] = state.min_val
+        self.max_val[...] = state.max_val
+        self.initialized[...] = state.initialized
 
     def update_qparams(self) -> None:
         """Refresh scale/zero_point from observer state
         (iao/quantize.py:292-321)."""
         if self.symmetric:
             scale, zp = symmetric_qparams(
-                self.min_val.value, self.max_val.value, self.qmin, self.qmax
+                self.min_val[...], self.max_val[...], self.qmin, self.qmax
             )
         else:
             scale, zp = asymmetric_qparams(
-                self.min_val.value, self.max_val.value, self.qmin, self.qmax
+                self.min_val[...], self.max_val[...], self.qmin, self.qmax
             )
-        self.scale.value = scale
-        self.zero_point.value = zp
+        self.scale[...] = scale
+        self.zero_point[...] = zp
 
     # -- fake-quant -------------------------------------------------------
 
@@ -207,12 +207,12 @@ class FakeQuantizer(OrderedModule):
             return x
         return fake_quant(
             x,
-            self.scale.value,
-            self.zero_point.value,
+            self.scale[...],
+            self.zero_point[...],
             self.qmin,
             self.qmax,
-            self.min_val.value,
-            self.max_val.value,
+            self.min_val[...],
+            self.max_val[...],
             self.symmetric,
         )
 
@@ -225,16 +225,16 @@ class FakeQuantizer(OrderedModule):
         return (
             fake_quant_codes(
                 x,
-                self.scale.value,
-                self.zero_point.value,
+                self.scale[...],
+                self.zero_point[...],
                 self.qmin,
                 self.qmax,
-                self.min_val.value,
-                self.max_val.value,
+                self.min_val[...],
+                self.max_val[...],
                 self.symmetric,
             ),
-            jax.lax.stop_gradient(self.scale.value),
-            jax.lax.stop_gradient(self.zero_point.value),
+            jax.lax.stop_gradient(self.scale[...]),
+            jax.lax.stop_gradient(self.zero_point[...]),
         )
 
 
@@ -378,10 +378,10 @@ class QuantConv2d(Conv2d):
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = self.weight_quantizer(w)
-        bias = None if self.bias is None else self.bias.value
+        bias = None if self.bias is None else self.bias[...]
         if self.act_codes:
             dt = _codes_dtype()
             return _codes_apply(
@@ -441,10 +441,10 @@ class QuantConvTranspose2d(ConvTranspose2d):
         self.weight_quantizer = _weight_quantizer(layer_cfg, (1,), None)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = self.weight_quantizer(w)
-        bias = None if self.bias is None else self.bias.value
+        bias = None if self.bias is None else self.bias[...]
         if self.act_codes:
             dt = _codes_dtype()
             return _codes_apply(
@@ -562,10 +562,10 @@ class QuantBNFuseConv2d(Conv2d):
         return self._conv(self.activation_quantizer(x), qw, b)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
-        b = None if self.bias is None else self.bias.value
-        gamma = self.gamma.value
-        beta = self.beta.value
+        w = self.weight[...]
+        b = None if self.bias is None else self.bias[...]
+        gamma = self.gamma[...]
+        beta = self.beta[...]
 
         if not self.qaft and self.training:
             # float conv for batch statistics (hot loop: the double conv,
@@ -604,17 +604,17 @@ class QuantBNFuseConv2d(Conv2d):
             m = self.momentum
             sg_mean = jax.lax.stop_gradient(batch_mean)
             sg_var = jax.lax.stop_gradient(batch_var)
-            ema_mean = (1 - m) * self.running_mean.value + m * sg_mean
-            ema_var = (1 - m) * self.running_var.value + m * sg_var
+            ema_mean = (1 - m) * self.running_mean[...] + m * sg_mean
+            ema_var = (1 - m) * self.running_var[...] + m * sg_var
             if self.pretrained_model:
                 new_mean, new_var = ema_mean, ema_var
             else:
-                seeded = self.bn_initialized.value
+                seeded = self.bn_initialized[...]
                 new_mean = jnp.where(seeded, ema_mean, sg_mean)
                 new_var = jnp.where(seeded, ema_var, sg_var)
-                self.bn_initialized.value = jnp.ones((), jnp.bool_)
-            self.running_mean.value = new_mean
-            self.running_var.value = new_var
+                self.bn_initialized[...] = jnp.ones((), jnp.bool_)
+            self.running_mean[...] = new_mean
+            self.running_var[...] = new_var
 
             inv_batch = gamma / jnp.sqrt(batch_var + self.eps)
             if b is not None:
@@ -638,11 +638,11 @@ class QuantBNFuseConv2d(Conv2d):
             return out * corr + bias_fused
 
         # eval / QAFT: fuse with running stats
-        inv_run = gamma / jnp.sqrt(self.running_var.value + self.eps)
+        inv_run = gamma / jnp.sqrt(self.running_var[...] + self.eps)
         if b is not None:
-            bias_fused = beta + (b - self.running_mean.value) * inv_run
+            bias_fused = beta + (b - self.running_mean[...]) * inv_run
         else:
-            bias_fused = beta - self.running_mean.value * inv_run
+            bias_fused = beta - self.running_mean[...] * inv_run
         weight_fused = w * inv_run
         qw = (
             weight_fused
@@ -674,10 +674,10 @@ class QuantLinear(Linear):
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = self.weight_quantizer(w)
-        bias = None if self.bias is None else self.bias.value
+        bias = None if self.bias is None else self.bias[...]
         if self.act_codes:
             return _codes_apply(
                 self.activation_quantizer, x, w, bias, _codes_dtype(),
@@ -793,11 +793,11 @@ class QuantConcat(OrderedModule):
         if self.training and not self.qaft:
             self.observer_a.observe(a)
             self.observer_b.observe(b)
-            self.activation_quantizer.min_val.value = jnp.minimum(
-                self.observer_a.min_val.value, self.observer_b.min_val.value
+            self.activation_quantizer.min_val[...] = jnp.minimum(
+                self.observer_a.min_val[...], self.observer_b.min_val[...]
             )
-            self.activation_quantizer.max_val.value = jnp.maximum(
-                self.observer_a.max_val.value, self.observer_b.max_val.value
+            self.activation_quantizer.max_val[...] = jnp.maximum(
+                self.observer_a.max_val[...], self.observer_b.max_val[...]
             )
         qa = self.activation_quantizer(a)
         qb = self.activation_quantizer(b)
@@ -847,11 +847,11 @@ class QuantAdd(OrderedModule):
         if self.training and not self.qaft:
             self.observer_res.observe(res)
             self.observer_shortcut.observe(shortcut)
-            self.activation_quantizer.min_val.value = jnp.minimum(
-                self.observer_res.min_val.value, self.observer_shortcut.min_val.value
+            self.activation_quantizer.min_val[...] = jnp.minimum(
+                self.observer_res.min_val[...], self.observer_shortcut.min_val[...]
             )
-            self.activation_quantizer.max_val.value = jnp.maximum(
-                self.observer_res.max_val.value, self.observer_shortcut.max_val.value
+            self.activation_quantizer.max_val[...] = jnp.maximum(
+                self.observer_res.max_val[...], self.observer_shortcut.max_val[...]
             )
         quant_res = self.activation_quantizer(res)
         quant_shortcut = self.activation_quantizer(shortcut)

@@ -65,13 +65,13 @@ class QuantConv2d(Conv2d):
         self.quant_inference = cfg.quant_inference
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = _quant_weight_ste(w, self.W)
         return F.conv2d(
             x,
             w,
-            None if self.bias is None else self.bias.value,
+            None if self.bias is None else self.bias[...],
             self.stride,
             self.padding,
             self.dilation,
@@ -88,13 +88,13 @@ class QuantConvTranspose2d(ConvTranspose2d):
         self.quant_inference = cfg.quant_inference
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w = self.weight.value
+        w = self.weight[...]
         if not self.quant_inference:
             w = _quant_weight_ste(w, self.W)
         return F.conv_transpose2d(
             x,
             w,
-            None if self.bias is None else self.bias.value,
+            None if self.bias is None else self.bias[...],
             self.stride,
             self.padding,
             self.output_padding,
@@ -109,4 +109,4 @@ def project_params(model: nnx.Module) -> None:
     (wbwtab/quantize.py:98-102). Optional: call between optimizer steps."""
     for _, m in model.iter_modules():
         if isinstance(m, (QuantConv2d, QuantConvTranspose2d)) and m.W == 2:
-            m.weight.value = wbwtab.mean_center_clamp(m.weight.value)
+            m.weight[...] = wbwtab.mean_center_clamp(m.weight[...])

@@ -159,9 +159,9 @@ def _convt_args(c: M.ConvTranspose2d) -> dict:
 
 
 def _copy_wb(dst, src) -> None:
-    dst.weight.value = src.weight.value
+    dst.weight[...] = src.weight[...]
     if src.bias is not None:
-        dst.bias.value = src.bias.value
+        dst.bias[...] = src.bias[...]
 
 
 # --------------------------------------------------------------------------
@@ -192,10 +192,10 @@ def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> N
                 **_conv_args(conv),
             )
             _copy_wb(q, conv)
-            q.gamma.value = child.weight.value
-            q.beta.value = child.bias.value
-            q.running_mean.value = child.running_mean.value
-            q.running_var.value = child.running_var.value
+            q.gamma[...] = child.weight[...]
+            q.beta[...] = child.bias[...]
+            q.running_mean[...] = child.running_mean[...]
+            q.running_var[...] = child.running_var[...]
             set_conv(q)
             set_child(M.Identity())
         elif type(child) is M.ConvTranspose2d:

@@ -330,9 +330,12 @@ def int4_matmul_grouped(
     bn = min(bn, -(-n // 128) * 128)
     # scoped-VMEM budget: the dequant temporaries + per-half scale
     # expansion cost ~28 bytes per (K/2, bn) element (measured on v5e);
-    # shrink bn until the kernel fits the 16 MiB limit with headroom
+    # shrink bn until the kernel fits the 16 MiB limit with headroom.
+    # Shrink in 128-aligned steps: halving a non-power-of-two bn (e.g.
+    # 384 → 192 → 96) would break the lane-tile alignment established
+    # above and fail Mosaic lowering.
     while bn > 128 and 28 * k2 * bn > 15 * 2**20:
-        bn //= 2
+        bn = max(128, (bn // 2) // 128 * 128)
     mp = -(-m // bm) * bm
     np_ = -(-n // bn) * bn
     if mp != m:

@@ -68,7 +68,7 @@ def bn_l1_grad_update(model: nnx.Module, grads: nnx.State, s: float) -> nnx.Stat
     gammas = {}
     for path, mod in nnx.iter_modules(model):
         if isinstance(mod, M.BatchNorm2d):
-            gammas[tuple(path) + ("weight",)] = mod.weight.value
+            gammas[tuple(path) + ("weight",)] = mod.weight[...]
     bn_paths = set(gammas)
 
     flat = nnx.to_flat_state(grads)
@@ -76,7 +76,7 @@ def bn_l1_grad_update(model: nnx.Module, grads: nnx.State, s: float) -> nnx.Stat
     for path, leaf in flat:
         if tuple(path) in bn_paths:
             g = gammas[tuple(path)]
-            leaf = type(leaf)(leaf.value + s * jnp.sign(g))
+            leaf = type(leaf)(leaf[...] + s * jnp.sign(g))
         new_flat.append((path, leaf))
     return nnx.from_flat_state(new_flat)
 
@@ -117,8 +117,8 @@ def gc_base_numbers(model: nnx.Module) -> List[int]:
     LCM of the group counts of the adjacent convs, groups derived from
     weight shapes (out_ch of conv j / in_ch-per-group of conv j+1)."""
     convs = [m for m in _ordered_modules(model) if isinstance(m, M.Conv2d)]
-    nums = [c.weight.value.shape[3] for c in convs]  # out channels
-    chans = [c.weight.value.shape[2] for c in convs]  # in channels / groups
+    nums = [c.weight[...].shape[3] for c in convs]  # out channels
+    chans = [c.weight[...].shape[2] for c in convs]  # in channels / groups
     groups = [1] + [nums[j] // chans[j + 1] for j in range(len(nums) - 1)]
     bases = []
     for j in range(len(groups) - 1):
@@ -145,7 +145,7 @@ def compute_prune_masks(
     bns = _prunable_bns(model, layers)
     if not bns:
         return [], [], 0.0
-    gammas = [np.abs(np.asarray(bn.weight.value)) for bn in bns]
+    gammas = [np.abs(np.asarray(bn.weight[...])) for bn in bns]
     all_g = np.sort(np.concatenate(gammas))
     total = all_g.size
     thre_index = min(int(total * percent), total - 1)
@@ -173,8 +173,8 @@ def compute_prune_masks(
         cfg.append(int(remain))
         masks.append(mask)
         if zero_pruned:
-            bn.weight.value = bn.weight.value * jnp.asarray(mask)
-            bn.bias.value = bn.bias.value * jnp.asarray(mask)
+            bn.weight[...] = bn.weight[...] * jnp.asarray(mask)
+            bn.bias[...] = bn.bias[...] * jnp.asarray(mask)
     return cfg, masks, pruned / total
 
 
@@ -213,38 +213,38 @@ def prune_model(
         if isinstance(m0, M.BatchNorm2d):
             if mask_i < n_prunable:
                 sel = idx(masks[mask_i])
-                m1.weight.value = jnp.asarray(np.asarray(m0.weight.value)[sel])
-                m1.bias.value = jnp.asarray(np.asarray(m0.bias.value)[sel])
-                m1.running_mean.value = jnp.asarray(
-                    np.asarray(m0.running_mean.value)[sel]
+                m1.weight[...] = jnp.asarray(np.asarray(m0.weight[...])[sel])
+                m1.bias[...] = jnp.asarray(np.asarray(m0.bias[...])[sel])
+                m1.running_mean[...] = jnp.asarray(
+                    np.asarray(m0.running_mean[...])[sel]
                 )
-                m1.running_var.value = jnp.asarray(
-                    np.asarray(m0.running_var.value)[sel]
+                m1.running_var[...] = jnp.asarray(
+                    np.asarray(m0.running_var[...])[sel]
                 )
                 mask_i += 1
                 start = sel
                 end = idx(masks[mask_i]) if mask_i < len(masks) else None
             else:
-                m1.weight.value = m0.weight.value
-                m1.bias.value = m0.bias.value
-                m1.running_mean.value = m0.running_mean.value
-                m1.running_var.value = m0.running_var.value
+                m1.weight[...] = m0.weight[...]
+                m1.bias[...] = m0.bias[...]
+                m1.running_mean[...] = m0.running_mean[...]
+                m1.running_var[...] = m0.running_var[...]
         elif isinstance(m0, M.Conv2d):
-            w = np.asarray(m0.weight.value)  # HWIO
+            w = np.asarray(m0.weight[...])  # HWIO
             if mask_i < n_prunable and end is not None:
                 w = w[:, :, start, :][:, :, :, end]  # slice in, then out
-                m1.weight.value = jnp.asarray(w)
+                m1.weight[...] = jnp.asarray(w)
                 if m0.bias is not None:
-                    m1.bias.value = jnp.asarray(np.asarray(m0.bias.value)[end])
+                    m1.bias[...] = jnp.asarray(np.asarray(m0.bias[...])[end])
             else:  # conv past the prunable range: slice inputs only
-                m1.weight.value = jnp.asarray(w[:, :, start, :])
+                m1.weight[...] = jnp.asarray(w[:, :, start, :])
                 if m0.bias is not None:
-                    m1.bias.value = m0.bias.value
+                    m1.bias[...] = m0.bias[...]
         elif isinstance(m0, M.Linear):
-            w = np.asarray(m0.weight.value)  # (in, out)
-            m1.weight.value = jnp.asarray(w[start, :])
+            w = np.asarray(m0.weight[...])  # (in, out)
+            m1.weight[...] = jnp.asarray(w[start, :])
             if m0.bias is not None:
-                m1.bias.value = m0.bias.value
+                m1.bias[...] = m0.bias[...]
     return new_model
 
 
@@ -254,7 +254,7 @@ def sparsity_report(model: nnx.Module) -> dict:
     for i, bn in enumerate(
         m for m in _ordered_modules(model) if isinstance(m, M.BatchNorm2d)
     ):
-        g = np.abs(np.asarray(bn.weight.value))
+        g = np.abs(np.asarray(bn.weight[...]))
         out[f"bn{i}"] = {
             "channels": int(g.size),
             "mean_abs_gamma": float(g.mean()),

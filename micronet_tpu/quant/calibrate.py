@@ -157,7 +157,7 @@ def finalize_entropy_calibration(
     # histograms take precedence and refresh the file, so multi-epoch
     # calibration keeps improving instead of freezing at the first write
     if cached is not None and any(
-        bool(fq.initialized.value) for _, fq in _entropy_quantizers(model)
+        bool(fq.initialized[...]) for _, fq in _entropy_quantizers(model)
     ):
         cached = None
     quantizers = list(_entropy_quantizers(model))
@@ -171,10 +171,10 @@ def finalize_entropy_calibration(
         thresholds = [cached[path] for path, _ in quantizers]
     else:
         counts = np.stack(
-            [np.asarray(fq.ent_counts.value, np.float64) for _, fq in quantizers]
+            [np.asarray(fq.ent_counts[...], np.float64) for _, fq in quantizers]
         ) if quantizers else np.zeros((0, 1))
         absmax = np.asarray(
-            [float(fq.ent_absmax.value) for _, fq in quantizers], np.float64
+            [float(fq.ent_absmax[...]) for _, fq in quantizers], np.float64
         )
         # the O(bins^2)-per-tensor search runs in the native runtime when
         # built (parallel across tensors, micronet_host.cpp), Python
@@ -197,8 +197,8 @@ def finalize_entropy_calibration(
         table[path] = float(thr)
         # symmetric qparams use max(|min|, |max|): min stays 0 like the
         # percentile HistogramObserver (iao/quantize.py:116-139)
-        fq.max_val.value = jnp.full_like(fq.max_val.value, thr)
-        fq.initialized.value = jnp.ones((), jnp.bool_)
+        fq.max_val[...] = jnp.full_like(fq.max_val[...], thr)
+        fq.initialized[...] = jnp.ones((), jnp.bool_)
         fq.update_qparams()
     _refresh_union_scales(model)
     if cache and cached is None:
@@ -227,7 +227,7 @@ def _refresh_union_scales(model) -> None:
         if any(s.observer != "entropy" for s in sides):
             continue
         uq = mod.activation_quantizer
-        uq.min_val.value = jnp.minimum(sides[0].min_val.value, sides[1].min_val.value)
-        uq.max_val.value = jnp.maximum(sides[0].max_val.value, sides[1].max_val.value)
-        uq.initialized.value = jnp.ones((), jnp.bool_)
+        uq.min_val[...] = jnp.minimum(sides[0].min_val[...], sides[1].min_val[...])
+        uq.max_val[...] = jnp.maximum(sides[0].max_val[...], sides[1].max_val[...])
+        uq.initialized[...] = jnp.ones((), jnp.bool_)
         uq.update_qparams()

@@ -152,19 +152,19 @@ class WOLinear(_OrderedModule):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         wo = WOTensor(
-            self.packed.value, self.scale.value, self.k, self.group, self.bits
+            self.packed[...], self.scale[...], self.k, self.group, self.bits
         )
         out = wo.matmul(x)
         if self.bias is not None:
-            out = out + self.bias.value
+            out = out + self.bias[...]
         return out
 
 
 def wo_quantize_linear(linear, group: int = 0, bits: int = 4) -> WOLinear:
     """Convert a ``micronet_tpu.nn.Linear`` ((in, out) kernel) to int4 or
     int8 weight-only; ``group > 0`` uses block scales."""
-    w = linear.weight.value
-    b = None if linear.bias is None else linear.bias.value
+    w = linear.weight[...]
+    b = None if linear.bias is None else linear.bias[...]
     return WOLinear(_quantize_2d(w, group, bits), b)
 
 

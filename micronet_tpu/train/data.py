@@ -75,8 +75,14 @@ def _load_pickle_batches(root: str) -> Optional[Tuple[np.ndarray, ...]]:
 def _synthetic(n_train: int, n_test: int) -> Tuple[np.ndarray, ...]:
     """Deterministic class-conditional images: each class has a distinct
     spatial-frequency pattern + noise, so models can actually fit it and
-    accuracy numbers are meaningful smoke signals (not CIFAR results)."""
+    accuracy numbers are meaningful smoke signals (not CIFAR results).
+
+    ``MICRONET_SYNTHETIC_NOISE`` (default 0.6) scales the per-pixel noise:
+    at 0.6 every flavor reaches ~100% (smoke-test regime); the acc-delta
+    table (benchmarks/acc_table.py) raises it so fp32 lands near CIFAR-10
+    levels and bit-width deltas become visible."""
     rng = np.random.RandomState(0)
+    noise = float(os.environ.get("MICRONET_SYNTHETIC_NOISE", 0.6))
 
     def make(n):
         y = rng.randint(0, 10, size=n).astype(np.int32)
@@ -89,7 +95,7 @@ def _synthetic(n_train: int, n_test: int) -> Tuple[np.ndarray, ...]:
             ]
         )  # (10, 32, 32)
         img = base[y][..., None].repeat(3, axis=-1)
-        img = img + 0.6 * rng.randn(n, 32, 32, 3)
+        img = img + noise * rng.randn(n, 32, 32, 3)
         img = (img - img.min()) / (img.max() - img.min())
         return (img * 255).astype(np.uint8), y
 

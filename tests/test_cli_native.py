@@ -107,7 +107,7 @@ def test_data_parallel_observer_consistency():
 
     def scales(m):
         return [
-            np.asarray(mm.weight_quantizer.scale.value)
+            np.asarray(mm.weight_quantizer.scale[...])
             for _, mm in nnx.iter_modules(m)
             if isinstance(mm, qat_iao.QuantBNFuseConv2d)
         ]
@@ -152,8 +152,8 @@ def test_shard_map_dp_step():
         for _, m in nnx.iter_modules(q2)
         if isinstance(m, qat_iao.QuantBNFuseConv2d)
     )
-    assert bool(fq.initialized.value)
-    assert float(fq.scale.value[0]) > 0
+    assert bool(fq.initialized[...])
+    assert float(fq.scale[...][0]) > 0
 
 
 def test_cli_bn_fuse_dump(tmp_path):
