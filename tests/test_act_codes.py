@@ -56,8 +56,8 @@ def _check_layer(off, on, x, atol=2e-5):
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off), atol=atol)
     # observer/qparam state identical (codes() runs the same update)
     np.testing.assert_array_equal(
-        np.asarray(off.activation_quantizer.scale.value),
-        np.asarray(on.activation_quantizer.scale.value),
+        np.asarray(off.activation_quantizer.scale[...]),
+        np.asarray(on.activation_quantizer.scale[...]),
     )
     g_out = jax.random.normal(jax.random.PRNGKey(7), y_off.shape)
     gp_off, gx_off = _grads(off, x, g_out)

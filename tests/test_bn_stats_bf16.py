@@ -60,14 +60,14 @@ def test_bf16_stats_layer_parity():
                 np.asarray(y_on), np.asarray(y_off), rtol=0.05, atol=0.05
             )
             np.testing.assert_allclose(
-                np.asarray(on.running_mean.value),
-                np.asarray(off.running_mean.value),
+                np.asarray(on.running_mean[...]),
+                np.asarray(off.running_mean[...]),
                 rtol=0.02,
                 atol=0.02,
             )
             np.testing.assert_allclose(
-                np.asarray(on.running_var.value),
-                np.asarray(off.running_var.value),
+                np.asarray(on.running_var[...]),
+                np.asarray(off.running_var[...]),
                 rtol=0.02,
                 atol=0.02,
             )

@@ -144,4 +144,4 @@ def test_w4_weights_pack_and_match():
     # packed arrays really are half-size on the contraction dim
     for m in convs:
         kh, kw, cg, co = m.w_shape
-        assert m.w_q.value.shape == (kh * kw * cg // 2, co)
+        assert m.w_q[...].shape == (kh * kw * cg // 2, co)

@@ -130,11 +130,11 @@ def test_ptq_kl_end_to_end_resnet(tmp_path):
     # every non-union quantizer that observed data resolved a scale > eps
     for _, m in nnx.iter_modules(q):
         if isinstance(m, qat_iao.FakeQuantizer) and m.observer == "entropy":
-            assert float(jnp.min(m.scale.value)) > 0
+            assert float(jnp.min(m.scale[...])) > 0
         if isinstance(m, qat_iao.QuantAdd):
             uq = m.activation_quantizer
-            assert float(uq.max_val.value.max()) > 0  # union resolved
-            assert float(uq.scale.value.max()) > 1e-7
+            assert float(uq.max_val[...].max()) > 0  # union resolved
+            assert float(uq.scale[...].max()) > 1e-7
 
     # cache roundtrip: a FRESH model calibrated from the cache alone (no
     # streamed stats) reproduces identical scales — TRT's read_calibration_cache
@@ -144,7 +144,7 @@ def test_ptq_kl_end_to_end_resnet(tmp_path):
     for (_, a), (_, b) in zip(nnx.iter_modules(q), nnx.iter_modules(q2)):
         if isinstance(a, qat_iao.FakeQuantizer) and a.observer == "entropy":
             np.testing.assert_array_equal(
-                np.asarray(a.max_val.value), np.asarray(b.max_val.value)
+                np.asarray(a.max_val[...]), np.asarray(b.max_val[...])
             )
 
 
@@ -183,12 +183,12 @@ def test_ptq_kl_vs_percentile_same_ballpark():
     _stream_ptq(q_pct)
     finalize_entropy_calibration(q_kl)
     kl_scales = {
-        "/".join(map(str, p)): float(m.scale.value.max())
+        "/".join(map(str, p)): float(m.scale[...].max())
         for p, m in nnx.iter_modules(q_kl)
         if isinstance(m, qat_iao.FakeQuantizer) and m.observer == "entropy"
     }
     pct_scales = {
-        "/".join(map(str, p)): float(m.scale.value.max())
+        "/".join(map(str, p)): float(m.scale[...].max())
         for p, m in nnx.iter_modules(q_pct)
         if isinstance(m, qat_iao.FakeQuantizer) and m.observer == "histogram"
     }
@@ -231,7 +231,7 @@ def test_trainer_ptq_kl_finalizes(tmp_path):
             and m.observer == "entropy"
             and not m.union
         ):
-            assert float(m.max_val.value.max()) > 0
+            assert float(m.max_val[...].max()) > 0
     _, acc = tr.evaluate()
     assert 0.0 <= acc <= 1.0
 
@@ -245,9 +245,9 @@ def test_entropy_state_rides_checkpoint():
     gdef, state = nnx.split(fq)
     fq2 = nnx.merge(gdef, state)
     np.testing.assert_array_equal(
-        np.asarray(fq.ent_counts.value), np.asarray(fq2.ent_counts.value)
+        np.asarray(fq.ent_counts[...]), np.asarray(fq2.ent_counts[...])
     )
-    assert float(fq2.ent_absmax.value) == float(fq.ent_absmax.value)
+    assert float(fq2.ent_absmax[...]) == float(fq.ent_absmax[...])
     assert cfg.ptq_observer == "kl"
 
 
@@ -272,7 +272,7 @@ def test_entropy_calibration_sharded_batch_gspmd():
             if shard:
                 x = shard_batch(x, mesh)
             observe(fq, x)
-        return np.asarray(fq.ent_counts.value), float(fq.ent_absmax.value)
+        return np.asarray(fq.ent_counts[...]), float(fq.ent_absmax[...])
 
     c1, m1 = run(False)
     c2, m2 = run(True)
@@ -349,17 +349,17 @@ def test_shard_map_entropy_grid_rescale():
         for _, m in nnx.iter_modules(qb)
         if isinstance(m, qat_iao.QuantConv2d)
     )
-    assert float(fa.ent_absmax.value) == float(fb.ent_absmax.value)
-    ca = np.asarray(fa.ent_counts.value)
-    cb = np.asarray(fb.ent_counts.value)
+    assert float(fa.ent_absmax[...]) == float(fb.ent_absmax[...])
+    ca = np.asarray(fa.ent_counts[...])
+    cb = np.asarray(fb.ent_counts[...])
     # shard_map pmean divides total mass by 8 but must preserve the SHAPE;
     # compare normalized histograms (rescale splitting smears each count
     # across at most two adjacent bins -> compare coarsened)
     pa = (ca / ca.sum()).reshape(256, -1).sum(1)
     pb = (cb / cb.sum()).reshape(256, -1).sum(1)
     np.testing.assert_allclose(pa, pb, atol=5e-3)
-    ta = kl_threshold(ca.astype(np.float64), float(fa.ent_absmax.value))
-    tb = kl_threshold(cb.astype(np.float64), float(fb.ent_absmax.value))
+    ta = kl_threshold(ca.astype(np.float64), float(fa.ent_absmax[...]))
+    tb = kl_threshold(cb.astype(np.float64), float(fb.ent_absmax[...]))
     np.testing.assert_allclose(ta, tb, rtol=0.05)
 
 

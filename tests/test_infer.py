@@ -97,13 +97,13 @@ def test_pre_quantize_idempotent():
 
     pre_quantize_weights(q)
     w1 = [
-        np.asarray(m.weight.value)
+        np.asarray(m.weight[...])
         for _, m in nnx.iter_modules(q)
         if isinstance(m, qat_iao.QuantConv2d)
     ]
     pre_quantize_weights(q)
     w2 = [
-        np.asarray(m.weight.value)
+        np.asarray(m.weight[...])
         for _, m in nnx.iter_modules(q)
         if isinstance(m, qat_iao.QuantConv2d)
     ]

@@ -171,7 +171,7 @@ def test_moe_decoder_quantized_tracks_float():
     me = TinyDecoder(**kwargs, rngs=nnx.Rngs(0))
     for blk in me.blocks:
         blk.moe.quantize_()
-    assert me.blocks[0].moe.w_up.value.dtype == jnp.int8
+    assert me.blocks[0].moe.w_up[...].dtype == jnp.int8
     assert cos_to_float(me) > 0.99
 
     # full serving conversion (W4 attention + int8 experts): the quantized

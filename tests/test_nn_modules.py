@@ -85,10 +85,10 @@ def test_batchnorm_train_eval_matches_torch():
     yt = bnt(torch.tensor(x).permute(0, 3, 1, 2))
     np.testing.assert_allclose(y, yt.detach().permute(0, 2, 3, 1).numpy(), atol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(bn.running_mean.value), bnt.running_mean.numpy(), atol=1e-5
+        np.asarray(bn.running_mean[...]), bnt.running_mean.numpy(), atol=1e-5
     )
     np.testing.assert_allclose(
-        np.asarray(bn.running_var.value), bnt.running_var.numpy(), atol=1e-5
+        np.asarray(bn.running_var[...]), bnt.running_var.numpy(), atol=1e-5
     )
     # eval mode
     M.eval_mode(bn)

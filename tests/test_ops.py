@@ -127,7 +127,7 @@ def test_grouped_pointwise_kernel_matches_general_path():
     )
     conv.chained = True
     conv.pallas_pointwise = True
-    conv.out_scale.value = jnp.float32(0.07)
+    conv.out_scale[...] = jnp.float32(0.07)
 
     x_q = jnp.asarray(rng.randint(-128, 128, (2, 4, 4, c_in)).astype(np.int8))
     assert conv._pointwise_fast_path_ok(x_q)

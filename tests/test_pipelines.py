@@ -61,7 +61,7 @@ def test_ptq_then_qaft_then_engine(tmp_path):
         for _, m in nnx.iter_modules(q)
         if isinstance(m, qat_iao.QuantBNFuseConv2d)
     )
-    assert bool(fq.initialized.value)
+    assert bool(fq.initialized[...])
     assert fq.observer == "histogram"
     qat_ckpt = str(tmp_path / "ptq.npz")
     checkpoint.save_state(qat_ckpt, q)
@@ -72,7 +72,7 @@ def test_ptq_then_qaft_then_engine(tmp_path):
     # histogram vs ema observer choice changes no state shapes: same tree
     checkpoint.load_state(qat_ckpt, q2)
     M.train_mode(q2)
-    scale_before = np.asarray(fq.scale.value).copy()
+    scale_before = np.asarray(fq.scale[...]).copy()
     _steps(q2, 2, lr=1e-5)
     fq2 = next(
         m.activation_quantizer
@@ -80,7 +80,7 @@ def test_ptq_then_qaft_then_engine(tmp_path):
         if isinstance(m, qat_iao.QuantBNFuseConv2d)
     )
     # QAFT froze quant params
-    np.testing.assert_array_equal(np.asarray(fq2.scale.value), scale_before)
+    np.testing.assert_array_equal(np.asarray(fq2.scale[...]), scale_before)
 
     # 4) fuse + engine
     fused = fuse_bn_iao(q2, qaft_cfg)

@@ -25,8 +25,8 @@ def _rand_gammas(model, seed=0):
     rng = np.random.RandomState(seed)
     for _, m in nnx.iter_modules(model):
         if isinstance(m, M.BatchNorm2d):
-            m.weight.value = jnp.asarray(rng.rand(m.num_features).astype(np.float32))
-            m.bias.value = jnp.asarray(
+            m.weight[...] = jnp.asarray(rng.rand(m.num_features).astype(np.float32))
+            m.bias[...] = jnp.asarray(
                 0.1 * rng.randn(m.num_features).astype(np.float32)
             )
 
@@ -93,13 +93,13 @@ def test_bn_l1_grad_update():
     new_grads = bn_l1_grad_update(model, grads, s)
     # pick the first BN and check the subgradient was added
     bn = model.model[0].bn
-    g0 = np.asarray(grads["model"]["layers"][0]["bn"]["weight"].value)
-    g1 = np.asarray(new_grads["model"]["layers"][0]["bn"]["weight"].value)
-    expected = g0 + s * np.sign(np.asarray(bn.weight.value))
+    g0 = np.asarray(grads["model"]["layers"][0]["bn"]["weight"][...])
+    g1 = np.asarray(new_grads["model"]["layers"][0]["bn"]["weight"][...])
+    expected = g0 + s * np.sign(np.asarray(bn.weight[...]))
     np.testing.assert_allclose(g1, expected, rtol=1e-6)
     # conv grads untouched
-    c0 = np.asarray(grads["model"]["layers"][0]["conv"]["weight"].value)
-    c1 = np.asarray(new_grads["model"]["layers"][0]["conv"]["weight"].value)
+    c0 = np.asarray(grads["model"]["layers"][0]["conv"]["weight"][...])
+    c1 = np.asarray(new_grads["model"]["layers"][0]["conv"]["weight"][...])
     np.testing.assert_array_equal(c0, c1)
 
 

@@ -63,8 +63,8 @@ def test_quant_conv2d_parity(q_type, q_level, weight_observer):
         weight_observer=weight_observer,
     )
     ours = qat_iao.QuantConv2d(4, 5, 3, padding=1, bias=True, cfg=cfg, rngs=nnx.Rngs(0))
-    ours.weight.value = _hwio(w)
-    ours.bias.value = jnp.asarray(b)
+    ours.weight[...] = _hwio(w)
+    ours.bias[...] = jnp.asarray(b)
 
     # two training steps so EMA/first-batch logic both exercise
     x2 = rng.randn(2, 4, 8, 8).astype(np.float32)
@@ -112,11 +112,11 @@ def test_quant_bn_fuse_conv2d_parity(bn_fuse_calib, pretrained_model):
     ours = qat_iao.QuantBNFuseConv2d(
         3, 6, 3, padding=1, bias=False, cfg=cfg, rngs=nnx.Rngs(0)
     )
-    ours.weight.value = _hwio(w)
-    ours.gamma.value = jnp.asarray(gamma)
-    ours.beta.value = jnp.asarray(beta)
-    ours.running_mean.value = jnp.asarray(r_mean)
-    ours.running_var.value = jnp.asarray(r_var)
+    ours.weight[...] = _hwio(w)
+    ours.gamma[...] = jnp.asarray(gamma)
+    ours.beta[...] = jnp.asarray(beta)
+    ours.running_mean[...] = jnp.asarray(r_mean)
+    ours.running_var[...] = jnp.asarray(r_var)
 
     for step in range(3):
         xi = rng.randn(4, 3, 8, 8).astype(np.float32)
@@ -128,11 +128,11 @@ def test_quant_bn_fuse_conv2d_parity(bn_fuse_calib, pretrained_model):
         )
     # running stats trajectories must match (first-batch seeding + EMA)
     np.testing.assert_allclose(
-        np.asarray(ours.running_mean.value),
+        np.asarray(ours.running_mean[...]),
         ref.running_mean.numpy(), atol=1e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(ours.running_var.value),
+        np.asarray(ours.running_var[...]),
         ref.running_var.numpy(), atol=1e-5,
     )
 
@@ -157,8 +157,8 @@ def test_quant_linear_parity():
     ref.train()
 
     ours = qat_iao.QuantLinear(7, 3, bias=True, cfg=QuantConfig(), rngs=nnx.Rngs(0))
-    ours.weight.value = jnp.asarray(w.T)  # ours (in, out)
-    ours.bias.value = jnp.asarray(b)
+    ours.weight[...] = jnp.asarray(w.T)  # ours (in, out)
+    ours.bias[...] = jnp.asarray(b)
 
     y_ref = ref(torch.tensor(x))
     y_ours = ours(jnp.asarray(x))
@@ -189,7 +189,7 @@ def test_dorefa_conv_parity():
 
     cfg = QuantConfig(a_bits=4, w_bits=4)
     ours = qat_dorefa.QuantConv2d(4, 5, 3, padding=1, bias=False, cfg=cfg, rngs=nnx.Rngs(0))
-    ours.weight.value = _hwio(w)
+    ours.weight[...] = _hwio(w)
 
     y_ref = ref(torch.tensor(x))
     y_ours = ours(_nhwc(x))
@@ -208,7 +208,7 @@ def test_wbwtab_conv_parity(W):
 
     cfg = QuantConfig(W=W)
     ours = qat_wbwtab.QuantConv2d(4, 5, 3, padding=1, bias=False, cfg=cfg, rngs=nnx.Rngs(0))
-    ours.weight.value = _hwio(w)
+    ours.weight[...] = _hwio(w)
 
     y_ref = ref(torch.tensor(x))
     y_ours = ours(_nhwc(x))

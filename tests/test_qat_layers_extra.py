@@ -49,7 +49,7 @@ def test_quant_conv_transpose2d_parity():
         cfg=QuantConfig(a_bits=8, w_bits=8), rngs=nnx.Rngs(0),
     )
     # ours HWIO-ish transpose kernel: (kh, kw, in, out//groups)
-    ours.weight.value = jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
+    ours.weight[...] = jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
 
     for xi in (x, rng.randn(2, 4, 8, 8).astype(np.float32)):
         y_ref = ref(torch.tensor(xi))
@@ -117,10 +117,10 @@ def test_histogram_observer_trajectory_parity():
 def test_qaft_freezes_everything():
     cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True, qaft=True)
     conv = qat_iao.QuantBNFuseConv2d(3, 4, 3, padding=1, cfg=cfg, rngs=nnx.Rngs(0))
-    conv.running_mean.value = jnp.asarray(np.random.RandomState(0).randn(4).astype(np.float32))
+    conv.running_mean[...] = jnp.asarray(np.random.RandomState(0).randn(4).astype(np.float32))
     before = {
-        "scale": np.asarray(conv.weight_quantizer.scale.value).copy(),
-        "rm": np.asarray(conv.running_mean.value).copy(),
+        "scale": np.asarray(conv.weight_quantizer.scale[...]).copy(),
+        "rm": np.asarray(conv.running_mean[...]).copy(),
     }
     conv.training = True
     conv.activation_quantizer.training = True
@@ -128,9 +128,9 @@ def test_qaft_freezes_everything():
     for i in range(3):
         conv(jax.random.normal(jax.random.PRNGKey(i), (2, 8, 8, 3)))
     np.testing.assert_array_equal(
-        np.asarray(conv.weight_quantizer.scale.value), before["scale"]
+        np.asarray(conv.weight_quantizer.scale[...]), before["scale"]
     )
-    np.testing.assert_array_equal(np.asarray(conv.running_mean.value), before["rm"])
+    np.testing.assert_array_equal(np.asarray(conv.running_mean[...]), before["rm"])
 
 
 def test_quant_concat_union_scale():
@@ -157,7 +157,7 @@ def test_quant_concat_union_scale():
     # union scale: the second half (x fake-quantized) uses the SAME scale
     # as the first half; values land on one shared grid
     cat = next(c for _, c in nnx.iter_modules(q) if isinstance(c, QuantConcat))
-    s = float(cat.activation_quantizer.scale.value[0])
+    s = float(cat.activation_quantizer.scale[...][0])
     grid = np.asarray(out) / s
     np.testing.assert_allclose(grid, np.round(grid), atol=1e-3)
 
@@ -197,8 +197,8 @@ def test_quant_conv2d_parity_randomized_sweep():
         ours = qat_iao.QuantConv2d(
             cin, cout, k, padding=1, bias=True, cfg=cfg, rngs=nnx.Rngs(0)
         )
-        ours.weight.value = _hwio(w)
-        ours.bias.value = jnp.asarray(b)
+        ours.weight[...] = _hwio(w)
+        ours.bias[...] = jnp.asarray(b)
 
         tol = 2e-4 * max(scale_in, 1.0)
         for step in range(3):

@@ -58,7 +58,7 @@ def test_wo_linear_and_compression():
     assert err < 0.2
     # ~8x smaller than f32 storage for the weight
     fp_bytes = 512 * 256 * 4
-    q_bytes = int(wo.packed.value.size) + int(wo.scale.value.size) * 4
+    q_bytes = int(wo.packed[...].size) + int(wo.scale[...].size) * 4
     assert q_bytes < fp_bytes / 6
 
 
@@ -174,7 +174,7 @@ def test_int4_matmul_grouped_matches_xla():
 def test_wo_linear_grouped_module_and_pytree():
     lin = M.Linear(256, 128, rngs=nnx.Rngs(0))
     wo = wo_quantize_linear(lin, group=64)
-    assert wo.group == 64 and wo.scale.value.shape == (4, 128)
+    assert wo.group == 64 and wo.scale[...].shape == (4, 128)
     x = jax.random.normal(jax.random.PRNGKey(3), (8, 256))
     y_q = np.asarray(wo(x))
     y_f = np.asarray(lin(x))
