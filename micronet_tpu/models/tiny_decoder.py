@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..nn.modules import Linear, OrderedModule
-from ..parallel.moe import MoEParams, init_moe, moe_apply, quantize_moe
+from ..parallel.moe import (
+    MoEParams,
+    init_moe,
+    moe_apply,
+    moe_apply_ep,
+    quantize_moe,
+)
 from ..quant.kv_cache import QuantKVCache, append_kv, attend, init_kv_cache
 from ..quant.weight_only import wo_quantize_linear
 
@@ -72,6 +78,8 @@ class MoEMLP(OrderedModule):
         self.down_scale = None
         self.capacity_factor = capacity_factor
         self.top_k = top_k
+        self.ep_mesh = None  # static: set via use_ep()
+        self.ep_axis = "expert"
 
     def params(self) -> MoEParams:
         return MoEParams(
@@ -99,7 +107,25 @@ class MoEMLP(OrderedModule):
         self.up_scale = nnx.data(nnx.Variable(qp.up_scale))
         self.down_scale = nnx.data(nnx.Variable(qp.down_scale))
 
+    def use_ep(self, mesh, axis: str = "expert") -> None:
+        """Serve this block expert-parallel: expert weights sharded over
+        ``axis`` of ``mesh``, combine via psum (``moe_apply_ep``). The
+        mesh is static module config (rides the graphdef, not the state),
+        so a split/merge round-trip keeps the EP dispatch. Semantics are
+        identical to the dense path — same router, same drop-free
+        capacity — only the placement changes, so decode tokens produced
+        under EP match the single-device path (tested in
+        tests/test_llm_serving.py)."""
+        assert self.top_k == 1, "moe_apply_ep is top-1; a2a path covers top-2"
+        self.ep_mesh = mesh
+        self.ep_axis = axis
+
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.ep_mesh is not None:
+            return moe_apply_ep(
+                self.params(), x, self.ep_mesh, self.ep_axis,
+                self.capacity_factor,
+            )
         return moe_apply(self.params(), x, self.capacity_factor, self.top_k)
 
 
@@ -145,12 +171,49 @@ class DecoderBlock(OrderedModule):
         att = attend(cache, q, causal_offset=offset)  # (H, T, D)
         att = att.transpose(1, 0, 2).reshape(x.shape[0], -1)
         x = x + self.wo(att)
+        return self._mlp(x), cache
+
+    def _mlp(self, x: jax.Array) -> jax.Array:
         h2 = self.norm2(x)
         if self.moe is not None:
-            x = x + self.moe(h2)
-        else:
-            x = x + self.down(jax.nn.gelu(self.up(h2)))
-        return x, cache
+            return x + self.moe(h2)
+        return x + self.down(jax.nn.gelu(self.up(h2)))
+
+    def prefill_sp(
+        self,
+        x: jax.Array,  # (T, dim), T sharded over `axis` of `mesh`
+        cache: QuantKVCache,  # must be EMPTY (fill pointer 0)
+        mesh,
+        axis: str = "seq",
+    ) -> Tuple[jax.Array, QuantKVCache]:
+        """Sequence-parallel prefill: the prompt's attention runs as exact
+        ring attention over the ``axis`` mesh dimension (activations never
+        materialize the full T on one chip), and the K/V still land in the
+        int8 cache, so the subsequent decode path is byte-identical to a
+        dense prefill.
+
+        Numerics note: the dense prefill attends against the quantize-
+        dequantized cache values (attend() reads int8 codes), so the ring
+        attention here consumes the SAME dequantized K/V — parity with
+        :meth:`__call__` is exact up to reduction order."""
+        from ..parallel.sequence import ring_attention
+
+        t = x.shape[0]
+        h = self.norm1(x)
+        q, k, v = self._split(self.wq(h)), self._split(self.wk(h)), self._split(self.wv(h))
+        cache = append_kv(cache, k, v)
+        kdq = cache.dequant_k()[:, :t]  # (H, T, D): what attend() would see
+        vdq = cache.dequant_v()[:, :t]
+        att = ring_attention(
+            q.transpose(1, 0, 2).astype(jnp.float32),
+            kdq.transpose(1, 0, 2),
+            vdq.transpose(1, 0, 2),
+            mesh,
+            axis=axis,
+            causal=True,
+        ).astype(x.dtype)  # (T, H, D)
+        x = x + self.wo(att.reshape(t, -1))
+        return self._mlp(x), cache
 
 
 class TinyDecoder(OrderedModule):
@@ -205,6 +268,24 @@ class TinyDecoder(OrderedModule):
         new_caches = []
         for blk, cache in zip(self.blocks, caches):
             x, cache = blk(x, cache, offset)
+            new_caches.append(cache)
+        return self.lm_head(self.norm(x)), new_caches
+
+    def prefill_sp(
+        self,
+        tokens: jax.Array,  # (T,) int32, T divisible by the mesh axis
+        caches: List[QuantKVCache],  # fresh (init_cache())
+        mesh,
+        axis: str = "seq",
+    ) -> Tuple[jax.Array, List[QuantKVCache]]:
+        """Sequence-parallel prefill over a ``seq`` mesh axis: logits and
+        caches match :meth:`forward` (tokens, caches, offset=0) up to
+        reduction order, with per-device attention memory O(T/S)."""
+        t = tokens.shape[0]
+        x = self.embed[...][tokens] + self.pos[...][jnp.arange(t)]
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk.prefill_sp(x, cache, mesh, axis)
             new_caches.append(cache)
         return self.lm_head(self.norm(x)), new_caches
 

@@ -234,3 +234,99 @@ def test_batched_decode_matches_per_request():
         jnp.asarray([[5], [6]], jnp.int32), cb, jnp.asarray([3, 3], jnp.int32)
     )
     assert l2.shape == (2, 1, 64) and np.isfinite(np.asarray(l2)).all()
+
+
+# ---------------------------------------------------------------------------
+# round 3: sp / ep composed with the decoder (VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_sp_prefill_matches_dense_forward():
+    """Sequence-parallel prefill (ring attention over a 4-device 'seq'
+    axis) produces the same logits and the same int8 caches as the dense
+    prefill, and the subsequent dense decode steps are interchangeable."""
+    from jax.sharding import Mesh
+
+    sp = 4
+    mesh = Mesh(np.array(jax.devices()[:sp]), ("seq",))
+    dec = TinyDecoder(vocab=32, dim=16, heads=2, depth=2, mlp_dim=32,
+                      max_seq=16, rngs=nnx.Rngs(0))
+    toks = jnp.asarray(np.arange(8) % 32, jnp.int32)
+
+    logits_d, caches_d = dec.forward(toks, dec.init_cache(), jnp.int32(0))
+    logits_sp, caches_sp = dec.prefill_sp(toks, dec.init_cache(), mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_sp), np.asarray(logits_d), atol=2e-5
+    )
+    # caches identical: the int8 codes must match bit for bit (same
+    # quantization of the same K/V), scales to f32 exactness
+    for cd, cs in zip(caches_d, caches_sp):
+        np.testing.assert_array_equal(
+            np.asarray(cs.k_codes), np.asarray(cd.k_codes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cs.v_codes), np.asarray(cd.v_codes)
+        )
+        assert int(cs.length) == int(cd.length)
+    # a decode step from the sp-built caches == from the dense caches
+    nxt = jnp.asarray([5], jnp.int32)
+    ld, _ = dec.forward(nxt, caches_d, jnp.int32(8))
+    ls, _ = dec.forward(nxt, caches_sp, jnp.int32(8))
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld), atol=2e-5)
+
+
+def test_sp_prefill_quantized_decoder():
+    """Same parity on the W4-quantized serving decoder."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    dec = quantize_decoder(
+        TinyDecoder(vocab=32, dim=16, heads=2, depth=1, mlp_dim=32,
+                    max_seq=16, rngs=nnx.Rngs(0)),
+        group=8,
+    )
+    toks = jnp.asarray(np.arange(8) % 32, jnp.int32)
+    logits_d, _ = dec.forward(toks, dec.init_cache(), jnp.int32(0))
+    logits_sp, _ = dec.prefill_sp(toks, dec.init_cache(), mesh)
+    np.testing.assert_allclose(
+        np.asarray(logits_sp), np.asarray(logits_d), atol=2e-5
+    )
+
+
+def test_ep_moe_decoder_matches_dense():
+    """MoE decoder served expert-parallel (experts sharded over a 4-device
+    'expert' axis via use_ep) produces the same prefill logits and greedy
+    decode tokens as the dense single-device path."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("expert",))
+
+    def build():
+        return quantize_decoder(
+            TinyDecoder(vocab=32, dim=16, heads=2, depth=1, mlp_dim=32,
+                        max_seq=16, moe_experts=8, rngs=nnx.Rngs(0)),
+            group=8,
+        )
+
+    dense = build()
+    ep = build()
+    for blk in ep.blocks:
+        blk.moe.use_ep(mesh)
+
+    toks = jnp.asarray(np.arange(6) % 32, jnp.int32)
+    ld, cd = dense.forward(toks, dense.init_cache(), jnp.int32(0))
+    le, ce = ep.forward(toks, ep.init_cache(), jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(le), np.asarray(ld), atol=2e-5)
+
+    # use_ep survives split/merge (static config on the graphdef) — the
+    # jitted serving path keeps the EP dispatch
+    gdef, state = nnx.split(ep)
+
+    @jax.jit
+    def step(st, tok, caches, off):
+        return nnx.merge(gdef, st).forward(tok, caches, off)
+
+    l1, _ = step(state, jnp.asarray([3], jnp.int32), ce, jnp.int32(6))
+    l1d, _ = dense.forward(jnp.asarray([3], jnp.int32), cd, jnp.int32(6))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l1d), atol=2e-5)
