@@ -67,7 +67,9 @@ def _maybe_pack_w4(mod, w_q_2d) -> None:
     from ..ops.int4_matmul import pack_int4
 
     if w_q_2d.shape[0] % 2 == 0:
-        mod.w_q[...] = pack_int4(w_q_2d)
+        # full replacement (shape changes K -> ceil(K/2)): indexed [...]
+        # assignment is a scatter and requires matching shapes
+        mod.w_q.set_value(pack_int4(w_q_2d))
         mod.w_packed = True
 
 

@@ -64,3 +64,46 @@ def test_ring_jits_as_one_program():
         np.asarray(attention_reference(q, k, v, causal=True)),
         atol=1e-5,
     )
+
+
+def test_zigzag_matches_contiguous_and_dense():
+    """The balanced (zigzag) causal schedule == the contiguous schedule ==
+    the dense oracle, values and gradients, including odd device counts
+    where the stripe permutations are least trivial."""
+    for s in (2, 4, 8):
+        mesh = _mesh(s)
+        ks = jax.random.split(jax.random.PRNGKey(s), 3)
+        q, k, v = (jax.random.normal(kk, (4 * s, 2, 8), jnp.float32) for kk in ks)
+
+        def loss_zz(q):
+            return jnp.mean(ring_attention(q, k, v, mesh, causal=True) ** 2)
+
+        def loss_ct(q):
+            return jnp.mean(
+                ring_attention(q, k, v, mesh, causal=True, balanced=False) ** 2
+            )
+
+        vz, gz = jax.value_and_grad(loss_zz)(q)
+        vc, gc = jax.value_and_grad(loss_ct)(q)
+        np.testing.assert_allclose(float(vz), float(vc), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gz), np.asarray(gc), atol=1e-5)
+        y = ring_attention(q, k, v, mesh, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(y),
+            np.asarray(attention_reference(q, k, v, causal=True)),
+            atol=1e-5,
+        )
+
+
+def test_zigzag_odd_local_falls_back():
+    """Odd per-device length can't split into stripes — the contiguous
+    schedule serves it, still matching the oracle."""
+    mesh = _mesh(4)
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q, k, v = (jax.random.normal(kk, (12, 2, 8), jnp.float32) for kk in ks)  # t_loc=3, odd
+    y = ring_attention(q, k, v, mesh, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(y),
+        np.asarray(attention_reference(q, k, v, causal=True)),
+        atol=1e-5,
+    )
