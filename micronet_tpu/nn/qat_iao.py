@@ -306,9 +306,18 @@ def _bf16_stats_enabled(cfg: QuantConfig) -> bool:
     only — CPU keeps the exact-f32 path the parity oracles check."""
     if cfg.bn_stats == "on":
         return True
-    if cfg.bn_stats == "off":
+    if cfg.bn_stats in ("off", "acc"):
         return False
     return jax.default_backend() != "cpu"
+
+
+def _acc_stats_enabled(cfg: QuantConfig) -> bool:
+    """Resolve the ``bn_stats="acc"`` lowering: derive batch statistics
+    from the quantized conv's accumulator, eliminating the stats conv.
+    Requires the fake-quant <-> per-channel-fold commutation, which holds
+    exactly only for per-channel (q_level==0) SYMMETRIC (q_type==0)
+    weight quantizers — other configs fall back to the stats conv."""
+    return cfg.bn_stats == "acc" and cfg.q_level == 0 and cfg.q_type == 0
 
 
 def _codes_apply(aq: "FakeQuantizer", x, w, bias, dtype, contract):
@@ -536,6 +545,7 @@ class QuantBNFuseConv2d(Conv2d):
         self.bn_initialized = QuantStat(jnp.zeros((), jnp.bool_))
         self.act_codes = _act_codes_enabled(cfg)
         self.bf16_stats = _bf16_stats_enabled(cfg)
+        self.acc_stats = _acc_stats_enabled(cfg)
         self.activation_quantizer = _act_quantizer(cfg)
         self.weight_quantizer = _weight_quantizer(
             cfg, stat_shape=(1, 1, 1, out_channels), axes=(0, 1, 2)
@@ -566,6 +576,9 @@ class QuantBNFuseConv2d(Conv2d):
         b = None if self.bias is None else self.bias[...]
         gamma = self.gamma[...]
         beta = self.beta[...]
+
+        if not self.qaft and self.training and self.acc_stats:
+            return self._call_acc_stats(x, w, b, gamma, beta)
 
         if not self.qaft and self.training:
             # float conv for batch statistics (hot loop: the double conv,
@@ -650,6 +663,75 @@ class QuantBNFuseConv2d(Conv2d):
             else self.weight_quantizer(weight_fused)
         )
         return self._qconv(x, qw, bias_fused)
+
+    def _call_acc_stats(self, x, w, b, gamma, beta):
+        """Single-conv training step (``bn_stats="acc"``, BENCHMARKS.md).
+
+        With per-channel symmetric weight quantization the fake-quant
+        commutes with any per-channel scale s: the observer sees
+        max|w*s| = |s|*max|w|, so scale' = |s|*scale and
+        ``q(w*s) = q(w)*s`` exactly (round-half-away is odd). Fold the
+        weights with the PRE-UPDATE running stats, run the one quantized
+        conv, and recover the float pre-BN batch statistics from its
+        accumulator by dividing the fold back out:
+
+            acc       = conv(q(x), q(w * inv_run))   [no bias]
+            pre_bn    ~ acc / inv_run + b            (exact rescale)
+            mean, var = stats(pre_bn)
+
+        The output then rescales the SAME accumulator from the running-var
+        fold to the batch-var fold — by the commutation this equals the
+        reference's conv(q(x), q(w * inv_batch)) (bn_fuse_calib=False) and
+        its calibrated variant (bn_fuse_calib=True output correction,
+        iao/quantize.py:957-972) at once, so both calib modes share this
+        path. Deviation vs the reference: batch stats are measured through
+        the quantized operands instead of a separate float conv — that is
+        the entire saving (one conv per step instead of two).
+        """
+        eps = self.eps
+        run_var = self.running_var[...]
+        inv_run = gamma / jnp.sqrt(run_var + eps)
+        # guard: gamma ~ U(0,1) starts positive but can train through 0;
+        # |inv_run| floors at a tiny value so the divide-back stays finite
+        safe = jnp.where(jnp.abs(inv_run) < 1e-12, 1e-12, inv_run)
+        qw = self.weight_quantizer(w * inv_run)
+        acc = self._qconv(x, qw, None)  # (N, H', W', O)
+
+        inv_sg = jax.lax.stop_gradient(safe)
+        n = acc.shape[0] * acc.shape[1] * acc.shape[2]
+        acc_mean = jnp.mean(acc, axis=(0, 1, 2), dtype=jnp.float32)
+        acc_var = jnp.var(acc, axis=(0, 1, 2), dtype=jnp.float32) * (
+            n / max(n - 1, 1)
+        )
+        batch_mean = acc_mean / safe
+        if b is not None:
+            batch_mean = batch_mean + b
+        batch_var = acc_var / jnp.square(safe)
+
+        m = self.momentum
+        sg_mean = jax.lax.stop_gradient(batch_mean)
+        sg_var = jax.lax.stop_gradient(batch_var)
+        ema_mean = (1 - m) * self.running_mean[...] + m * sg_mean
+        ema_var = (1 - m) * run_var + m * sg_var
+        if self.pretrained_model:
+            new_mean, new_var = ema_mean, ema_var
+        else:
+            seeded = self.bn_initialized[...]
+            new_mean = jnp.where(seeded, ema_mean, sg_mean)
+            new_var = jnp.where(seeded, ema_var, sg_var)
+            self.bn_initialized[...] = jnp.ones((), jnp.bool_)
+        self.running_mean[...] = new_mean
+        self.running_var[...] = new_var
+
+        inv_batch = gamma / jnp.sqrt(batch_var + eps)
+        if b is not None:
+            bias_fused = beta + (b - batch_mean) * inv_batch
+        else:
+            bias_fused = beta - batch_mean * inv_batch
+        # rescale running-fold accumulator -> batch fold; gamma cancels,
+        # leaving the bn_fuse_calib correction factor exactly
+        corr = jnp.sqrt(run_var + eps) / jnp.sqrt(batch_var + eps)
+        return acc * corr + bias_fused
 
 
 class QuantLinear(Linear):

@@ -55,7 +55,17 @@ class QuantConfig:
       a bf16 materialization (reductions still accumulate in f32, like
       torch AMP batch-norm), halving the stats-conv HBM traffic that
       dominates the bn_fuse step's residual tax. Same "auto"/"on"/"off"
-      semantics as ``act_codes``.
+      semantics as ``act_codes``. ``"acc"`` goes further and ELIMINATES
+      the stats conv: with per-channel SYMMETRIC weight quantization the
+      fake-quant commutes exactly with the per-channel BN fold
+      (``q(w*s) = q(w)*s``), so the quantized conv's accumulator — folded
+      with the pre-update running stats — is an exact per-channel rescale
+      of the float pre-BN output, and the batch mean/var are recovered
+      from it analytically. One conv per step instead of two; batch stats
+      see the quantized activations (documented deviation — the reference
+      measures them on the float conv, iao/quantize.py:843-851). Falls
+      back to the stats conv for per-layer or asymmetric weight
+      quantizers, where the commutation doesn't hold.
 
     DoReFa uses ``a_bits``/``w_bits``/``quant_inference`` only.
 
@@ -77,7 +87,7 @@ class QuantConfig:
     ptq_observer: str = "percentile"  # "percentile" | "kl"
     quant_inference: bool = False
     act_codes: str = "auto"  # "auto" | "on" | "off"
-    bn_stats: str = "auto"  # "auto" | "on" | "off" (bf16 stats conv)
+    bn_stats: str = "auto"  # "auto" | "on" | "off" (bf16 stats conv) | "acc"
     # wbwtab
     W: int = 2
     A: int = 2
