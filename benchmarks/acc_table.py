@@ -176,9 +176,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--train_size", type=int, default=8192)
-    ap.add_argument("--noise", type=float, default=2.4,
-                    help="synthetic-set difficulty: 2.4 puts fp32 near "
-                    "CIFAR-10 accuracy so bit-width deltas are visible")
+    ap.add_argument("--noise", type=float, default=8.5,
+                    help="synthetic-set difficulty: measured fp32 nin_gc "
+                    "20-epoch accuracy is 1.00/0.98/0.94/0.87 at noise "
+                    "4/6/8/9 — 8.5 puts fp32 near the CIFAR-10 baseline "
+                    "(91%%) so bit-width deltas are visible")
     ap.add_argument("--out", default=os.path.join(ROOT, "ACC_TABLE.json"))
     ap.add_argument("--skip_prune", action="store_true")
     args = ap.parse_args(argv)
