@@ -11,7 +11,6 @@ the integer matmul with in-kernel activation quantization."""
 
 from .int_matmul import (
     binary_act_matmul,
-    int8_grouped_pointwise,
     int8_linear,
     int8_matmul_dequant,
     int8_matmul_dequant_xla,
@@ -20,7 +19,6 @@ from .int_matmul import (
 
 __all__ = [
     "binary_act_matmul",
-    "int8_grouped_pointwise",
     "int8_linear",
     "int8_matmul_dequant",
     "int8_matmul_dequant_xla",

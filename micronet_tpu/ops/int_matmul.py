@@ -273,82 +273,3 @@ def int8_linear(
     return out.reshape(*lead, w_q.shape[1])
 
 
-def _gp_kernel(x_ref, wq_ref, wscale_ref, bias_ref, sc_ref, out_ref):
-    """Grouped-pointwise tile: int8 (bm, Kg) @ int8 (Kg, Ng) -> requantized
-    int8 (bm, Ng). sc_ref packs [s_x, out_scale] in SMEM."""
-    s_x = sc_ref[0, 0]
-    s_out = sc_ref[0, 1]
-    acc = jax.lax.dot_general(
-        x_ref[:],
-        wq_ref[:],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    out = acc.astype(jnp.float32) * (s_x * wscale_ref[:]) + bias_ref[:]
-    q = jnp.sign(out) * jnp.floor(jnp.abs(out) / s_out + 0.5)
-    out_ref[:] = jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
-
-
-@functools.partial(jax.jit, static_argnames=("groups", "bm"))
-def int8_grouped_pointwise(
-    x_q: jax.Array,
-    w_q: jax.Array,
-    w_scale: jax.Array,
-    bias: jax.Array,
-    x_scale: jax.Array,
-    out_scale: jax.Array,
-    *,
-    groups: int,
-    bm: int = 512,
-) -> jax.Array:
-    """Fused grouped 1x1 conv for the chained int8 engine.
-
-    x_q: (M, C) int8 (channels group-major); w_q: (C/g, C) int8 (the
-    squeezed HWIO 1x1 kernel; out channels group-major); w_scale/bias:
-    (C,); x_scale/out_scale: scalars. Returns requantized int8 (M, C_out).
-
-    One kernel per layer does matmul + dequant + bias + requant — the
-    whole inter-layer dataflow stays int8 and the intermediate int32/f32
-    tile never touches HBM. Requires C/groups and C_out/groups to be lane
-    multiples (128) — true for every NIN-GC pointwise layer — and M
-    padded to the 32-sublane int8 tile.
-    """
-    m, c_in = x_q.shape
-    kg, c_out = w_q.shape
-    assert kg * groups == c_in, (x_q.shape, w_q.shape, groups)
-    ng = c_out // groups
-    assert kg % 128 == 0 and ng % 128 == 0, "group width must be lane-aligned"
-    bm = min(bm, -(-m // 32) * 32)
-    mp = -(-m // bm) * bm
-    if mp != m:
-        x_q = jnp.pad(x_q, ((0, mp - m), (0, 0)))
-    w_scale = jnp.asarray(w_scale, jnp.float32).reshape(1, c_out)
-    bias = jnp.asarray(bias, jnp.float32).reshape(1, c_out)
-    sc = jnp.stack(
-        [jnp.asarray(x_scale, jnp.float32), jnp.asarray(out_scale, jnp.float32)]
-    ).reshape(1, 2)
-    out = pl.pallas_call(
-        _gp_kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, c_out), jnp.int8),
-        grid_spec=pl.GridSpec(
-            grid=(mp // bm, groups),
-            in_specs=[
-                pl.BlockSpec((bm, kg), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((kg, ng), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ng), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ng), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (bm, ng), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * c_out * kg,
-            bytes_accessed=mp * c_in + kg * c_out + mp * c_out,
-            transcendentals=0,
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )(x_q, w_q, w_scale, bias, sc)
-    return out[:m]

@@ -107,44 +107,6 @@ def test_int_engine_matches_fused_model():
     np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_fused), atol=0.05)
 
 
-def test_grouped_pointwise_kernel_matches_general_path():
-    """Fused grouped-pointwise fast path == the general XLA int conv path
-    on lane-aligned shapes (the NIN-GC pointwise layers)."""
-    import dataclasses
-
-    from micronet_tpu.infer.engine import IntConv2d
-    from micronet_tpu.quant.rounding import round_half_away
-
-    rng = np.random.RandomState(0)
-    c_in, c_out, g = 256, 256, 2
-    w_q = rng.randint(-127, 128, (1, 1, c_in // g, c_out)).astype(np.int8)
-    w_scale = (0.01 + 0.02 * rng.rand(c_out)).astype(np.float32)
-    bias = rng.randn(c_out).astype(np.float32)
-    conv = IntConv2d(
-        jnp.asarray(w_q), jnp.asarray(w_scale),
-        jnp.float32(0.05), jnp.float32(0.0), jnp.asarray(bias),
-        (1, 1), (0, 0), (1, 1), g, -128.0, 127.0,
-    )
-    conv.chained = True
-    conv.pallas_pointwise = True
-    conv.out_scale[...] = jnp.float32(0.07)
-
-    x_q = jnp.asarray(rng.randint(-128, 128, (2, 4, 4, c_in)).astype(np.int8))
-    assert conv._pointwise_fast_path_ok(x_q)
-    y_fast = conv(x_q)
-    assert y_fast.dtype == jnp.int8
-
-    # reference: general path semantics computed by hand
-    acc = jax.lax.conv_general_dilated(
-        x_q, jnp.asarray(w_q), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=g, preferred_element_type=jnp.int32,
-    )
-    out = acc.astype(jnp.float32) * (0.05 * jnp.asarray(w_scale)) + jnp.asarray(bias)
-    ref = jnp.clip(round_half_away(out / 0.07), -128, 127).astype(jnp.int8)
-    np.testing.assert_array_equal(np.asarray(y_fast), np.asarray(ref))
-
-
 def test_int_engine_asymmetric_activations():
     """q_type=1 (asymmetric/unsigned) engine: the shifted-int8 storage +
     folded zero-point correction reproduces the fused fake-quant model."""
