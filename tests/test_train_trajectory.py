@@ -472,3 +472,172 @@ def test_training_trajectory_parity_wbwtab(w_cfg):
     assert code_mismatch < 0.05, f"{code_mismatch:.3f} of codes diverged"
     agree = np.sign(ow) == np.sign(tw)
     np.testing.assert_allclose(ow[agree], tw[agree], atol=0.05)
+
+
+def test_training_trajectory_parity_prune_quant_handoff():
+    """The cross-script pipeline of SURVEY §3.4 as one trajectory test:
+
+    1. sparse-train the SAME nin (ours vs the reference's torch
+       models/nin.py) with the L1 BN-gamma subgradient (updateBN,
+       pruning/main.py:65-69) — loss parity;
+    2. compute prune masks both ways — ours via compute_prune_masks,
+       torch via the reference's global-quantile formula
+       (normal_regular_prune.py:61-124) — cfg and masks must be EQUAL;
+    3. materialize the pruned net, hand it to IAO QAT (the --prune_quant
+       branch, iao/main.py:346-372), and track the quantized training
+       trajectory vs torch for 10 more steps.
+    """
+    from micronet.models import nin as ref_nin
+
+    from micronet_tpu.models import nin as our_nin
+    from micronet_tpu.nn import prepare as _prepare
+    from micronet_tpu.prune import (
+        bn_l1_grad_update,
+        compute_prune_masks,
+        prune_model,
+    )
+
+    torch.manual_seed(0)
+    cfg0 = [8] * 8
+    tm = ref_nin.Net(cfg=list(cfg0))
+    tm.train()
+    om = our_nin.Net(cfg=list(cfg0), rngs=nnx.Rngs(0))
+
+    conv_idx = [0, 1, 2, 4, 5, 6, 8, 9, 10]  # ConvBNReLU slots in Sequential
+
+    def sync(tmod, omod):
+        with torch.no_grad():
+            for ti, blk in zip(conv_idx, range(9)):
+                tb = tmod.model[ti]
+                ob = omod.model.layers[ti]
+                ob.conv.weight[...] = _hwio(tb.conv.weight.numpy())
+                ob.conv.bias[...] = _jcopy(tb.conv.bias.numpy())
+                ob.bn.weight[...] = _jcopy(tb.bn.weight.numpy())
+                ob.bn.bias[...] = _jcopy(tb.bn.bias.numpy())
+
+    # distinctive gammas so the global threshold has structure
+    rng0 = np.random.RandomState(3)
+    with torch.no_grad():
+        for ti in conv_idx:
+            bn = tm.model[ti].bn
+            bn.weight.copy_(torch.tensor(
+                0.05 + rng0.rand(bn.num_features).astype(np.float32)))
+    sync(tm, om)
+    M.train_mode(om)
+
+    B_, S_ = 4, 32
+    rng = np.random.RandomState(11)
+    xs = [rng.randn(B_, 3, S_, S_).astype(np.float32) for _ in range(2)]
+    proj = rng.randn(3 * S_ * S_, 10).astype(np.float32)
+    ys = np.stack(
+        [np.argmax(xs[i % 2].reshape(B_, -1) @ proj, axis=1) for i in range(20)]
+    )
+
+    # --- phase 1: sparse training (updateBN both sides), 8 steps ---
+    s_l1 = 1e-2
+    topt = torch.optim.SGD(tm.parameters(), lr=0.05)
+    oopt = nnx.Optimizer(om, optax.sgd(0.05), wrt=nnx.Param)
+
+    @nnx.jit
+    def ostep(model, opt, x, y):
+        def loss_fn(m):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                m(x), y
+            ).mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        grads = bn_l1_grad_update(model, grads, s_l1)
+        opt.update(model, grads)
+        return loss
+
+    t_losses, o_losses = [], []
+    for i in range(8):
+        xt = torch.tensor(xs[i % 2])
+        yt = torch.tensor(ys[i], dtype=torch.long)
+        topt.zero_grad()
+        loss_t = tF.cross_entropy(tm(xt), yt)
+        loss_t.backward()
+        for mmod in tm.modules():  # updateBN (pruning/main.py:65-69)
+            if isinstance(mmod, tnn.BatchNorm2d):
+                mmod.weight.grad.data.add_(s_l1 * torch.sign(mmod.weight.data))
+        topt.step()
+        t_losses.append(float(loss_t))
+        xj = jnp.asarray(np.transpose(xs[i % 2], (0, 2, 3, 1)))
+        o_losses.append(float(ostep(om, oopt, xj, jnp.asarray(ys[i]))))
+    np.testing.assert_allclose(o_losses, t_losses, rtol=2e-2, atol=2e-2)
+
+    # --- phase 2: masks. Torch side = the reference's formula: global
+    # quantile threshold over the first 8 BNs' |gamma|, per-layer mask
+    # |gamma| > thr with a >=1-channel floor ---
+    percent = 0.4
+    gammas_t = torch.cat(
+        [tm.model[ti].bn.weight.data.abs().clone() for ti in conv_idx[:8]]
+    )
+    thr = torch.sort(gammas_t)[0][int(gammas_t.shape[0] * percent)]
+    masks_t = []
+    for ti in conv_idx[:8]:
+        g = tm.model[ti].bn.weight.data.abs()
+        mask = (g > thr).float()
+        if int(mask.sum()) == 0:  # >=1 floor (normal_regular_prune.py:101)
+            mask[int(g.argmax())] = 1.0
+        masks_t.append(np.asarray(mask.numpy(), bool))
+
+    cfg_o, masks_o, _ = compute_prune_masks(om, percent, layers=9)
+    assert cfg_o == [int(m.sum()) for m in masks_t], "pruned cfg diverged"
+    for a, b in zip(masks_o, masks_t):
+        np.testing.assert_array_equal(np.asarray(a, bool), b)
+
+    # --- phase 3: materialize ours, sync torch's pruned net FROM ours
+    # (slice mechanics are covered by test_prune_equivalence_nin), then
+    # IAO-QAT both pruned nets and track the trajectory ---
+    new_o = our_nin.Net(cfg=cfg_o, rngs=nnx.Rngs(1))
+    new_o = prune_model(om, new_o, masks_o, layers=9)
+    new_t = ref_nin.Net(cfg=list(cfg_o))
+    with torch.no_grad():
+        for ti in conv_idx:
+            ob = new_o.model.layers[ti]
+            tb = new_t.model[ti]
+            tb.conv.weight.copy_(torch.tensor(
+                np.transpose(np.asarray(ob.conv.weight[...]), (3, 2, 0, 1))))
+            tb.conv.bias.copy_(torch.tensor(np.asarray(ob.conv.bias[...])))
+            tb.bn.weight.copy_(torch.tensor(np.asarray(ob.bn.weight[...])))
+            tb.bn.bias.copy_(torch.tensor(np.asarray(ob.bn.bias[...])))
+            tb.bn.running_mean.copy_(
+                torch.tensor(np.asarray(ob.bn.running_mean[...])))
+            tb.bn.running_var.copy_(
+                torch.tensor(np.asarray(ob.bn.running_var[...])))
+
+    q_o = _prepare(new_o, QuantConfig(a_bits=8, w_bits=8), method="iao",
+                   inplace=True)
+    M.train_mode(q_o)
+    q_t = ref_iao.prepare(new_t, inplace=True, a_bits=8, w_bits=8,
+                          q_type=0, q_level=0, weight_observer=0)
+    q_t.train()
+
+    topt2 = torch.optim.SGD(q_t.parameters(), lr=0.05)
+    oopt2 = nnx.Optimizer(q_o, optax.sgd(0.05), wrt=nnx.Param)
+
+    @nnx.jit
+    def qstep(model, opt, x, y):
+        def loss_fn(m):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                m(x), y
+            ).mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return loss
+
+    tq, oq = [], []
+    for i in range(8, 18):
+        xt = torch.tensor(xs[i % 2])
+        yt = torch.tensor(ys[i], dtype=torch.long)
+        topt2.zero_grad()
+        lt = tF.cross_entropy(q_t(xt), yt)
+        lt.backward()
+        topt2.step()
+        tq.append(float(lt))
+        xj = jnp.asarray(np.transpose(xs[i % 2], (0, 2, 3, 1)))
+        oq.append(float(qstep(q_o, oopt2, xj, jnp.asarray(ys[i]))))
+    np.testing.assert_allclose(oq, tq, rtol=3e-2, atol=3e-2)
+    assert tq[-1] < t_losses[0], "pipeline trajectory went nowhere"
