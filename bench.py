@@ -162,8 +162,19 @@ def _bench_train(detail):
 
 def _bench_int4(detail):
     """hl8 W4A16 grouped kernel at the Llama-3-8B up-proj shape, M in
-    {1, 8, 16}, with fraction-of-roofline against the weight-read bound
-    (BASELINE north star: >= 80%)."""
+    {1, 8, 16}, two measurement regimes (docs/design.md round 3):
+
+    - STREAMING: 8 distinct weight buffers cycled in an unrolled chain,
+      so every step reads its weights from HBM — the serving model
+      (every layer streams once per token). Roofline fractions against
+      the HBM weight-read bound use THIS number (north star: >= 80%).
+    - RESIDENT: one weight buffer reused across the scan — the 29 MB
+      packed int4 fits v5e's 128 MiB VMEM and XLA keeps it stationary
+      (bf16's 117 MB cannot), so this regime shows the int4-enabled
+      weights-resident ceiling.
+    """
+    import time as _time
+
     from micronet_tpu.ops.int4_matmul import (
         int4_matmul_grouped_hl8,
         pack_int4_hl8,
@@ -173,10 +184,51 @@ def _bench_int4(detail):
     from micronet_tpu.utils.timing import per_step_seconds
 
     k, n, g = 4096, 14336, 128  # Llama-3-8B MLP up-projection
+    copies = 8
     w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.02
     w_q, gscale = quantize_int4_weight_grouped(w, g)
     packed = pack_int4_hl8(w_q)
     wb = w.astype(jnp.bfloat16)
+    packs = [packed + (i % 2) for i in range(copies)]
+    gss = [gscale] * copies
+
+    def stream_seconds(m):
+        import numpy as np
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+
+        def make(kk):
+            @jax.jit
+            def run(packs, gss, x, seed):
+                def body(carry, i):
+                    acc = carry
+                    xi = x * (1.0 + 1e-12 * acc) + seed.astype(jnp.float32) * 1e-6
+                    for c in range(copies):  # unrolled: static operands
+                        y = int4_matmul_grouped_hl8(xi, packs[c], gss[c])
+                        acc = acc + jnp.float32(jnp.sum(y))
+                        xi = x * (1.0 + 1e-12 * acc)
+                    return acc, None
+
+                tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(kk))
+                return tot
+
+            return run
+
+        ks = (8, 32)
+        runners = {kk: make(kk) for kk in ks}
+        for kk in ks:
+            np.asarray(runners[kk](packs, gss, x, jnp.int32(0)))
+        slopes = []
+        for t in range(3):
+            t0 = _time.perf_counter()
+            np.asarray(runners[ks[0]](packs, gss, x, jnp.int32(100 + t)))
+            ts = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            np.asarray(runners[ks[1]](packs, gss, x, jnp.int32(200 + t)))
+            tl = _time.perf_counter() - t0
+            slopes.append((tl - ts) / (ks[1] - ks[0]) / copies)
+        slopes.sort()
+        return slopes[1]
 
     for m in (1, 8, 16):
         x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
@@ -184,15 +236,18 @@ def _bench_int4(detail):
             lambda s, xi: (xi.astype(jnp.bfloat16) @ s).astype(jnp.float32),
             wb, x, iters=256,
         )
-        sec_int4 = per_step_seconds(
+        sec_res = per_step_seconds(
             lambda s, xi: int4_matmul_grouped_hl8(xi, s[0], s[1]),
             (packed, gscale), x, iters=256,
         )
+        sec_str = stream_seconds(m)
         bytes_r = k // 2 * n + (k // g) * n * 4 + m * k * 4 + m * n * 4
-        rf = roofline(sec_int4, flops=2 * m * k * n, bytes_accessed=bytes_r)
-        detail[f"int4_hl8_m{m}_us"] = round(sec_int4 * 1e6, 1)
+        rf = roofline(sec_str, flops=2 * m * k * n, bytes_accessed=bytes_r)
+        detail[f"int4_hl8_m{m}_us"] = round(sec_str * 1e6, 1)
         detail[f"int4_hl8_m{m}_roofline"] = round(rf["fraction_of_roofline"], 2)
-        detail[f"int4_hl8_m{m}_vs_bf16"] = round(sec_bf16 / sec_int4, 2)
+        detail[f"int4_hl8_m{m}_vs_bf16"] = round(sec_bf16 / sec_str, 2)
+        detail[f"int4_hl8_m{m}_resident_us"] = round(sec_res * 1e6, 1)
+        detail[f"int4_hl8_m{m}_resident_vs_bf16"] = round(sec_bf16 / sec_res, 2)
         if m == 8:
             detail["bf16_matmul_us"] = round(sec_bf16 * 1e6, 1)
 
