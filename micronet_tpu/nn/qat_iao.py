@@ -300,24 +300,35 @@ def _codes_dtype():
     return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
 
-def _bf16_stats_enabled(cfg: QuantConfig) -> bool:
-    """Resolve ``cfg.bn_stats`` (net-new TPU lowering, BENCHMARKS.md):
-    "auto" runs the batch-statistics conv in bf16 on accelerator backends
-    only — CPU keeps the exact-f32 path the parity oracles check."""
-    if cfg.bn_stats == "on":
-        return True
-    if cfg.bn_stats in ("off", "acc"):
-        return False
-    return jax.default_backend() != "cpu"
-
-
 def _acc_stats_enabled(cfg: QuantConfig) -> bool:
     """Resolve the ``bn_stats="acc"`` lowering: derive batch statistics
     from the quantized conv's accumulator, eliminating the stats conv.
     Requires the fake-quant <-> per-channel-fold commutation, which holds
     exactly only for per-channel (q_level==0) SYMMETRIC (q_type==0)
-    weight quantizers — other configs fall back to the stats conv."""
-    return cfg.bn_stats == "acc" and cfg.q_level == 0 and cfg.q_type == 0
+    weight quantizers — other configs fall back to the stats conv.
+
+    "auto" resolves to acc on accelerator backends for eligible configs
+    (measured v5e: bn_fuse QAT tax +40% -> +17%, 20-epoch accuracy
+    matches the double-conv path on both W8A8 and W4A4 — ACC_TABLE
+    cross-check in tests/test_bn_stats_bf16.py and BENCHMARKS.md); CPU
+    keeps the exact reference composition the parity oracles require."""
+    if cfg.q_level != 0 or cfg.q_type != 0:
+        return False
+    if cfg.bn_stats == "acc":
+        return True
+    return cfg.bn_stats == "auto" and jax.default_backend() != "cpu"
+
+
+def _bf16_stats_enabled(cfg: QuantConfig) -> bool:
+    """Resolve ``cfg.bn_stats`` (net-new TPU lowering, BENCHMARKS.md):
+    "auto" runs the batch-statistics conv in bf16 on accelerator backends
+    only (when the stronger acc lowering doesn't apply) — CPU keeps the
+    exact-f32 path the parity oracles check."""
+    if cfg.bn_stats == "on":
+        return True
+    if cfg.bn_stats in ("off", "acc"):
+        return False
+    return jax.default_backend() != "cpu" and not _acc_stats_enabled(cfg)
 
 
 def _codes_apply(aq: "FakeQuantizer", x, w, bias, dtype, contract):
