@@ -125,8 +125,21 @@ class FakeQuantizer(OrderedModule):
         self.scale = QuantStat(jnp.ones(shape, jnp.float32))
         self.zero_point = QuantStat(jnp.zeros(shape, jnp.float32))
         if observer == "entropy" and not union:
-            # |x| histogram for TRT-style KL calibration (per-tensor;
-            # quant/calibrate.py resolves it into max_val at build time).
+            # |x| histogram for TRT-style KL calibration (quant/calibrate.py
+            # resolves it into max_val at build time). PER-TENSOR ONLY, by
+            # design rather than omission: KL calibration exists for
+            # ACTIVATIONS (TRT's IInt8EntropyCalibrator2 is per-tensor
+            # symmetric), and every activation quantizer in the reference's
+            # feature matrix is layer-level (iao/quantize.py:371-374 —
+            # activation q_level has no per-channel branch); weights never
+            # calibrate via KL (min/max at build). A per-channel stat_shape
+            # here would silently pair per-channel scales with a per-tensor
+            # threshold, so it is rejected loudly.
+            if any(d != 1 for d in shape):
+                raise ValueError(
+                    "entropy (KL) calibration is per-tensor only: activation "
+                    f"quantizers are layer-level; got stat_shape={shape}"
+                )
             # union quantizers never observe — their min/max is assigned
             # from the side observers, so they carry no histogram.
             self.ent_counts = QuantStat(jnp.zeros((entropy_bins,), jnp.float32))
