@@ -64,13 +64,26 @@ def _resolve(source: str):
 def _headline_rows():
     assert os.path.exists(MD), "BENCHMARKS.md missing"
     text = open(MD).read()
-    m = re.search(r"## Headline numbers.*?\n((?:\|.*\n)+)", text)
-    assert m, "BENCHMARKS.md lacks the '## Headline numbers' table"
+    lines = text.splitlines()
+    try:
+        start = next(
+            i for i, ln in enumerate(lines) if ln.startswith("## Headline numbers")
+        )
+    except StopIteration:
+        raise AssertionError("BENCHMARKS.md lacks the '## Headline numbers' table")
     rows = []
-    for line in m.group(1).splitlines()[2:]:  # skip header + separator
-        cells = [c.strip() for c in line.strip().strip("|").split("|")]
-        if len(cells) >= 3 and cells[1]:
-            rows.append((cells[0], cells[1], cells[2]))
+    in_table = False
+    for ln in lines[start + 1 :]:
+        if ln.startswith("## "):
+            break  # next section — only the headline table counts
+        if ln.startswith("|"):
+            in_table = True
+            cells = [c.strip() for c in ln.strip().strip("|").split("|")]
+            if len(cells) >= 3 and cells[1] and not set(cells[1]) <= {"-", " "}:
+                if cells[0] != "claim":  # skip the header row
+                    rows.append((cells[0], cells[1], cells[2]))
+        elif in_table and ln.strip():
+            break  # table ended
     assert rows, "headline table is empty"
     return rows
 
