@@ -85,7 +85,7 @@ def _params_m(model) -> float:
         seen.add(id(m))
         for name in ("weight", "bias"):
             v = getattr(m, name, None)
-            if v is not None and hasattr(v, "value"):
+            if v is not None and hasattr(v, "get_value"):
                 total += int(np.prod(v[...].shape))
         if isinstance(m, M.BatchNorm2d):
             total += 2 * int(np.prod(m.weight[...].shape))

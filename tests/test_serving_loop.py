@@ -88,6 +88,7 @@ def test_serving_loop_tp_sharded_matches_single_device():
     to the unsharded loop — the north star's "continuous-batched
     quantized inference across hosts" composition (the mesh axis is what
     would span hosts over DCN; GSPMD inserts the collectives)."""
+    import jax
     import numpy as np
     from flax import nnx
     from jax.sharding import Mesh
