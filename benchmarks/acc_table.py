@@ -103,7 +103,7 @@ def _train_one(build_model, method, qcfg, data, epochs, lr=1e-3, seed=1):
     train_mode(model)
     tcfg = TrainConfig(lr=lr, batch_size=256, epochs=epochs, seed=seed, log_every=10_000)
     trainer = Trainer(model, tcfg, dataset=data)
-    best = trainer.fit(log=lambda s: None)
+    best = trainer.fit(log=lambda s: None, restore_best=True)
     return best, model, trainer
 
 

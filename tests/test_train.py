@@ -177,3 +177,23 @@ def test_grad_accum_matches_full_batch_gradients():
         jax.tree.leaves(nnx.state(q4, nnx.Param)),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_fit_restore_best(tmp_path):
+    """restore_best hands back the state the returned best_acc describes:
+    after fit, an immediate evaluate() reproduces best_acc even when the
+    final epoch had drifted below it."""
+    import numpy as np
+
+    from micronet_tpu.models import lenet
+    from micronet_tpu.train import TrainConfig, Trainer
+    from micronet_tpu.train.data import load_cifar10
+
+    data = load_cifar10(synthetic_size=128)
+    model = lenet.LeNet(rngs=nnx.Rngs(0))
+    M.train_mode(model)
+    cfg = TrainConfig(lr=5e-2, batch_size=32, epochs=4, seed=0, log_every=10_000)
+    tr = Trainer(model, cfg, dataset=data)
+    best = tr.fit(log=lambda s: None, restore_best=True)
+    _, acc_now = tr.evaluate()
+    np.testing.assert_allclose(acc_now, best, atol=1e-6)
