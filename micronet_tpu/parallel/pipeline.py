@@ -81,23 +81,24 @@ def pipeline_apply(
 
         _, outs = jax.lax.scan(tick, zero, jnp.arange(n_ticks))
         # outs: (n_ticks, micro, ...) per device; the LAST stage's outputs
-        # for ticks [s-1, s-1+n_micro) are the pipeline result. Select via
-        # where so every device returns the same shape; psum over the
-        # stage axis gathers the last stage's contribution.
-        result = outs[s - 1 : s - 1 + n_micro]
-        is_last = (idx == (s - 1)).astype(result.dtype)
-        return jax.lax.psum(result * is_last, axis)
+        # for ticks [s-1, s-1+n_micro) are the pipeline result. Every
+        # device returns its own slice, sharded over the stage axis; the
+        # caller-side [s-1] slice reads only the last stage's shard —
+        # O(|out|) transfer instead of the O(S*|out|) psum broadcast a
+        # where+psum gather would cost.
+        return outs[s - 1 : s - 1 + n_micro][None]
 
     from jax import shard_map
 
     stage_spec = jax.tree.map(lambda _: P(axis), stacked_params)
-    return shard_map(
+    out = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(stage_spec, P()),
-        out_specs=P(),
+        out_specs=P(axis),
         check_vma=False,
     )(stacked_params, x)
+    return out[s - 1]
 
 
 def pipeline_apply_stateful(
@@ -162,9 +163,9 @@ def pipeline_apply_stateful(
         (_, st_final), outs = jax.lax.scan(
             tick, (zero, state_local), jnp.arange(n_ticks)
         )
-        result = outs[s - 1 : s - 1 + n_micro]
-        is_last = (idx == (s - 1)).astype(result.dtype)
-        out = jax.lax.psum(result * is_last, axis)
+        # outputs stay sharded over the stage axis; the caller-side [s-1]
+        # slice reads only the last stage's shard (see pipeline_apply)
+        out = outs[s - 1 : s - 1 + n_micro][None]
         st_out = jax.tree.map(lambda a: a[None], st_final)  # re-stack dim
         return out, st_out
 
@@ -172,10 +173,11 @@ def pipeline_apply_stateful(
 
     param_spec = jax.tree.map(lambda _: P(axis), stacked_params)
     state_spec = jax.tree.map(lambda _: P(axis), stacked_state)
-    return shard_map(
+    out, st = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(param_spec, state_spec, P()),
-        out_specs=(P(), state_spec),
+        out_specs=(P(axis), state_spec),
         check_vma=False,
     )(stacked_params, stacked_state, x)
+    return out[s - 1], st
