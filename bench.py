@@ -165,13 +165,19 @@ def _bench_int4(detail):
     {1, 8, 16}, two measurement regimes (docs/design.md round 3):
 
     - STREAMING: 8 distinct weight buffers cycled in an unrolled chain,
-      so every step reads its weights from HBM — the serving model
+      so every step reads its weights from cold HBM — the serving model
       (every layer streams once per token). Roofline fractions against
       the HBM weight-read bound use THIS number (north star: >= 80%).
-    - RESIDENT: one weight buffer reused across the scan — the 29 MB
-      packed int4 fits v5e's 128 MiB VMEM and XLA keeps it stationary
-      (bf16's 117 MB cannot), so this regime shows the int4-enabled
-      weights-resident ceiling.
+    - SINGLE-BUFFER: one weight buffer reused across the scan — the
+      best case (warm paths, no buffer cycling). Still HBM-read-bound:
+      measured within ~15% of the streaming regime, which falsifies the
+      earlier "XLA pins the 29 MB pack in VMEM" interpretation.
+
+    Roofline honesty: ``_roofline`` fractions use the chip's NOMINAL
+    bandwidth (819 GB/s on v5e); ``_roofline_achieved`` divides by the
+    bandwidth a pure read-stream actually reaches on this chip/tunnel
+    (measured here, reported as ``hbm_read_gbps_measured``) — the
+    speed-of-light a kernel could possibly hit.
     """
     import time as _time
 
@@ -182,6 +188,16 @@ def _bench_int4(detail):
     )
     from micronet_tpu.utils.profiling import roofline
     from micronet_tpu.utils.timing import per_step_seconds
+
+    # measured achievable read bandwidth: a 64 MiB read-stream (the scan
+    # harness sums the result, so the output write is fused away — pure
+    # read traffic)
+    rbuf = jax.random.normal(jax.random.PRNGKey(9), (16 * 2**20,), jnp.float32)
+    rsec = per_step_seconds(
+        lambda s, xi: s + xi[0], rbuf, jnp.ones((8,), jnp.float32), iters=512
+    )
+    read_gbps = rbuf.size * 4 / rsec / 1e9
+    detail["hbm_read_gbps_measured"] = round(read_gbps, 0)
 
     k, n, g = 4096, 14336, 128  # Llama-3-8B MLP up-projection
     copies = 8
@@ -214,12 +230,15 @@ def _bench_int4(detail):
 
             return run
 
-        ks = (8, 32)
+        # (8, 72) scan counts x 8 unrolled copies = 512 kernel steps of
+        # separation (~25-50 ms of signal vs ~10 ms RPC jitter; the old
+        # (8, 32) gave ~10 ms of signal and round-to-round contradictions)
+        ks = (8, 72)
         runners = {kk: make(kk) for kk in ks}
         for kk in ks:
             np.asarray(runners[kk](packs, gss, x, jnp.int32(0)))
         slopes = []
-        for t in range(3):
+        for t in range(5):
             t0 = _time.perf_counter()
             np.asarray(runners[ks[0]](packs, gss, x, jnp.int32(100 + t)))
             ts = _time.perf_counter() - t0
@@ -228,23 +247,30 @@ def _bench_int4(detail):
             tl = _time.perf_counter() - t0
             slopes.append((tl - ts) / (ks[1] - ks[0]) / copies)
         slopes.sort()
-        return slopes[1]
+        return slopes[len(slopes) // 2]
 
     for m in (1, 8, 16):
+        # iters=1024: ~770 steps of separation x ~50-160 µs/step = 40-120 ms
+        # of slope signal, an order of magnitude above the ~10 ms RPC
+        # jitter of the tunneled chip (round-2's iters=256 produced
+        # 0-µs/unstable readings at these shapes)
         x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
         sec_bf16 = per_step_seconds(
             lambda s, xi: (xi.astype(jnp.bfloat16) @ s).astype(jnp.float32),
-            wb, x, iters=256,
+            wb, x, iters=1024,
         )
         sec_res = per_step_seconds(
             lambda s, xi: int4_matmul_grouped_hl8(xi, s[0], s[1]),
-            (packed, gscale), x, iters=256,
+            (packed, gscale), x, iters=1024,
         )
         sec_str = stream_seconds(m)
         bytes_r = k // 2 * n + (k // g) * n * 4 + m * k * 4 + m * n * 4
         rf = roofline(sec_str, flops=2 * m * k * n, bytes_accessed=bytes_r)
         detail[f"int4_hl8_m{m}_us"] = round(sec_str * 1e6, 1)
         detail[f"int4_hl8_m{m}_roofline"] = round(rf["fraction_of_roofline"], 2)
+        detail[f"int4_hl8_m{m}_roofline_achieved"] = round(
+            bytes_r / read_gbps / 1e9 / sec_str, 2
+        )
         detail[f"int4_hl8_m{m}_vs_bf16"] = round(sec_bf16 / sec_str, 2)
         detail[f"int4_hl8_m{m}_resident_us"] = round(sec_res * 1e6, 1)
         detail[f"int4_hl8_m{m}_resident_vs_bf16"] = round(sec_bf16 / sec_res, 2)

@@ -1,14 +1,19 @@
 """End-to-end Llama-3-8B-SHAPED decode throughput on one chip.
 
 The north star asks for "quantized tokens/s at 1 chip" — this measures a
-full 32-layer stack at Llama-3-8B dimensions (4096 dim, 32 heads, 14336
-SwiGLU MLP, gate+up+down), every matmul hl8-packed W4 with group-128
-scales and the KV cache int8 with per-(head, position) scales, S=2048.
+full 32-layer stack at the real Llama-3-8B attention/MLP geometry
+(4096 dim, 32 query heads, GQA with 8 KV heads — wk/wv project to 1024 —
+14336 SwiGLU MLP with gate+up+down), every matmul hl8-packed W4 with
+group-128 scales and the KV cache int8 with per-(head, position) scales,
+S=2048. GQA decode rides the fused kernel's (8, D) query block: the 4
+query heads of a KV group share ONE cache read
+(ops/decode_attention.py).
 
-Why W4 is the ENABLER and not just an optimization here: 7.8B params in
-bf16 is ~15.7 GB — it does not fit a 16 GB v5e next to the KV cache and
-activations. hl8-packed W4 is ~3.9 GB + 190 MB scales, leaving room for
-the 540 MB int8 cache; the whole model decodes on ONE chip.
+Why W4 is the ENABLER and not just an optimization here: 7.0B
+body+head params in bf16 is ~14 GB — it does not fit a 16 GB v5e next
+to the KV cache and activations. hl8-packed W4 is ~3.3 GB + 160 MB
+scales, leaving room for the 135 MB int8 GQA cache; the whole model
+decodes on ONE chip.
 
 Semantics are throughput-shaped, not a trained model: random weights,
 RMSNorm + causal int8-KV attention (fused decode kernel) + SwiGLU; no
@@ -39,13 +44,15 @@ from micronet_tpu.ops.int4_matmul import (
 )
 from micronet_tpu.quant.kv_cache import append_kv, attend, init_kv_cache
 
-DIM, HEADS, HEAD_DIM, MLP, LAYERS, SEQ = 4096, 32, 128, 14336, 32, 2048
+DIM, HEADS, KV_HEADS, HEAD_DIM = 4096, 32, 8, 128
+MLP, LAYERS, SEQ = 14336, 32, 2048
 GROUP = 128
+KV_DIM = KV_HEADS * HEAD_DIM  # 1024: the GQA projection width
 
 MATS = [
     ("wq", DIM, DIM),
-    ("wk", DIM, DIM),
-    ("wv", DIM, DIM),
+    ("wk", DIM, KV_DIM),
+    ("wv", DIM, KV_DIM),
     ("wo", DIM, DIM),
     ("gate", DIM, MLP),
     ("up", DIM, MLP),
@@ -91,8 +98,8 @@ def _layer_step(layer_params, x, cache, offset, t):
     """One decoder layer over (t, DIM) activations with the int8 cache."""
     h = _rms(x)
     q = _lin(layer_params, "wq", h).reshape(t, HEADS, HEAD_DIM).transpose(1, 0, 2)
-    k = _lin(layer_params, "wk", h).reshape(t, HEADS, HEAD_DIM).transpose(1, 0, 2)
-    v = _lin(layer_params, "wv", h).reshape(t, HEADS, HEAD_DIM).transpose(1, 0, 2)
+    k = _lin(layer_params, "wk", h).reshape(t, KV_HEADS, HEAD_DIM).transpose(1, 0, 2)
+    v = _lin(layer_params, "wv", h).reshape(t, KV_HEADS, HEAD_DIM).transpose(1, 0, 2)
     cache = append_kv(cache, k, v)
     att = attend(cache, q, causal_offset=offset)  # (H, t, D)
     att = att.transpose(1, 0, 2).reshape(t, DIM)
@@ -119,15 +126,42 @@ def step_fn(params, caches, x, offset):
 
 
 def init_caches(layers=LAYERS):
-    one = init_kv_cache(HEADS, SEQ, HEAD_DIM)
+    one = init_kv_cache(KV_HEADS, SEQ, HEAD_DIM)
     return jax.tree.map(
         lambda l: jnp.broadcast_to(l, (layers,) + l.shape).copy(), one
     )
 
 
+def _assert_gqa_kernel_vs_oracle():
+    """On-device numerics gate: the fused GQA decode kernel must match its
+    XLA oracle at a kernel-eligible shape before the timed run."""
+    import numpy as np
+
+    from micronet_tpu.ops.decode_attention import (
+        decode_attend_q8kv,
+        decode_attend_q8kv_xla,
+    )
+
+    g, r, s, d = 8, 4, 128, 128
+    cache = init_kv_cache(g, s, d)
+    k = jax.random.normal(jax.random.PRNGKey(7), (g, s - 5, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(8), (g, s - 5, d), jnp.float32)
+    cache = append_kv(cache, k, v)
+    q = jax.random.normal(jax.random.PRNGKey(9), (g, r, d), jnp.float32)
+    bound = jnp.full((g,), s - 5, jnp.int32)
+    args = (
+        cache.k_codes, cache.k_scale.reshape(g, s),
+        cache.v_codes, cache.v_scale.reshape(g, s), q, bound,
+    )
+    out = np.asarray(decode_attend_q8kv(*args))
+    ref = np.asarray(decode_attend_q8kv_xla(*args))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-3)
+
+
 def main():
     from micronet_tpu.utils.timing import per_step_seconds
 
+    _assert_gqa_kernel_vs_oracle()
     key = jax.random.PRNGKey(0)
     params = build_stacked_weights(key)
     n_bytes = sum(
@@ -137,7 +171,7 @@ def main():
     caches = init_caches()
     # warm the cache to a realistic fill (decode attends the whole window)
     fk = jax.random.normal(
-        jax.random.PRNGKey(2), (LAYERS, HEADS, SEQ - 8, HEAD_DIM), jnp.bfloat16
+        jax.random.PRNGKey(2), (LAYERS, KV_HEADS, SEQ - 8, HEAD_DIM), jnp.bfloat16
     ).astype(jnp.float32)
     caches = jax.vmap(append_kv)(caches, fk, fk)
 
@@ -156,7 +190,8 @@ def main():
                 "weight_gb": round(n_bytes / 2**30, 2),
                 "layers": LAYERS,
                 "seq": SEQ,
-                "note": "bf16 weights (15.7 GB) do not fit one v5e; W4 does",
+                "note": "bf16 weights (~14 GB) do not fit one v5e beside cache+activations; W4 does",
+                "gqa": f"{HEADS}q/{KV_HEADS}kv",
             }
         ),
         flush=True,

@@ -77,18 +77,32 @@ def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bound_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=())
 def decode_attend_q8kv(
-    k_codes: jax.Array,  # (G, S, D) int8  (G = batch*heads or heads)
+    k_codes: jax.Array,  # (G, S, D) int8  (G = batch*heads or KV heads)
     k_scale: jax.Array,  # (G, S) f32
     v_codes: jax.Array,  # (G, S, D) int8
     v_scale: jax.Array,  # (G, S) f32
-    q: jax.Array,  # (G, D) f32 — ONE query row per head
+    q: jax.Array,  # (G, D) f32 — or (G, R, D) with R <= 8 (GQA: R query
+    #              heads share KV group g, riding the same (8, D) q block)
     bound: jax.Array,  # (G,) int32 — attend to positions < bound
 ) -> jax.Array:
-    """Fused single-token attention against an int8 KV cache -> (G, D) f32."""
+    """Fused single-token attention against an int8 KV cache.
+
+    Returns (G, D) for a (G, D) query, (G, R, D) for a (G, R, D) one.
+    The grouped-query form costs the same HBM traffic as R=1 — the whole
+    point of GQA at decode: one cache read serves all R query heads.
+    """
     g, s, d = k_codes.shape
-    if jax.default_backend() != "tpu" or d % 128 or s % 128:
+    gqa = q.ndim == 3
+    r = q.shape[1] if gqa else 1
+    if (
+        jax.default_backend() != "tpu"
+        or d % 128
+        or s % 128
+        or r > _QROWS
+    ):
         return decode_attend_q8kv_xla(k_codes, k_scale, v_codes, v_scale, q, bound)
-    q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, 0, :].set(q)
+    q_rows = q if gqa else q[:, None, :]
+    q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
     bound2 = bound.astype(jnp.int32).reshape(g)
     ks3 = k_scale.reshape(g, 1, s)
     vs3 = v_scale.reshape(g, 1, s)
@@ -115,7 +129,7 @@ def decode_attend_q8kv(
             transcendentals=g * s,
         ),
     )(q8, k_codes, ks3, v_codes, vs3, bound2)
-    return out[:, 0, :]
+    return out[:, :r, :] if gqa else out[:, 0, :]
 
 
 def decode_attend_q8kv_xla(
@@ -124,21 +138,24 @@ def decode_attend_q8kv_xla(
     """Numerics oracle / CPU fallback — same bf16-operand precision class
     (codes exact in bf16; q/probs cast like the kernel)."""
     g, s, d = k_codes.shape
+    gqa = q.ndim == 3
+    q_rows = q if gqa else q[:, None, :]  # (G, R, D)
     logits = jnp.einsum(
-        "gd,gsd->gs",
-        q.astype(jnp.bfloat16),
+        "grd,gsd->grs",
+        q_rows.astype(jnp.bfloat16),
         k_codes.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    logits = logits * k_scale / (d**0.5)
-    valid = jnp.arange(s)[None, :] < bound[:, None]
+    logits = logits * k_scale[:, None, :] / (d**0.5)
+    valid = (jnp.arange(s)[None, None, :] < bound[:, None, None])
     logits = jnp.where(valid, logits, -jnp.inf)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.where(valid, jnp.exp(logits - m), 0.0)
     denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-    pv = (p * v_scale).astype(jnp.bfloat16)
+    pv = (p * v_scale[:, None, :]).astype(jnp.bfloat16)
     acc = jnp.einsum(
-        "gs,gsd->gd", pv, v_codes.astype(jnp.bfloat16),
+        "grs,gsd->grd", pv, v_codes.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    return acc / denom
+    out = acc / denom
+    return out if gqa else out[:, 0, :]

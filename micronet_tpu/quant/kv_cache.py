@@ -115,13 +115,22 @@ def attend(
     together: standard causal decode/prefill semantics over a
     statically-shaped cache.
 
+    Grouped-query attention (GQA) is supported: ``q`` may carry
+    ``r * H_kv`` heads for an ``H_kv``-head cache (query head ``i`` reads
+    KV group ``i // r`` — the Llama-3 layout), so one cache read serves
+    all ``r`` query heads of a group.
+
     Decode (T=1) dispatches to the fused Pallas kernel
     (:func:`..ops.decode_attention.decode_attend_q8kv`): scores, masked
     softmax, and the weighted sum read the int8 codes + scales directly in
-    one VMEM pass — nothing dequantizes to HBM. Prefill (T>1) keeps the
-    XLA lowering (compute-bound there; f32 dequant amortizes over T).
+    one VMEM pass — nothing dequantizes to HBM (GQA rides the same (8, D)
+    query block, R rows per KV group). Prefill (T>1) keeps the XLA
+    lowering (compute-bound there; f32 dequant amortizes over T).
     """
-    h, t, d = q.shape
+    hq, t, d = q.shape
+    h = cache.k_codes.shape[0]
+    assert hq % h == 0, f"query heads {hq} not a multiple of KV heads {h}"
+    r = hq // h
     s = cache.max_seq
     if t == 1:
         from ..ops.decode_attention import decode_attend_q8kv
@@ -130,17 +139,21 @@ def attend(
         if causal_offset is not None:
             bound = jnp.minimum(bound, causal_offset + 1)
         bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32).reshape(()), (h,))
+        q_in = q[:, 0, :].astype(jnp.float32)
         out = decode_attend_q8kv(
             cache.k_codes,
             cache.k_scale.reshape(h, s),
             cache.v_codes,
             cache.v_scale.reshape(h, s),
-            q[:, 0, :].astype(jnp.float32),
+            q_in.reshape(h, r, d) if r > 1 else q_in,
             bound,
         )
-        return out[:, None, :].astype(q.dtype)
+        return out.reshape(hq, 1, d).astype(q.dtype)
     kf = cache.dequant_k()  # (H, S, D)
     vf = cache.dequant_v()
+    if r > 1:  # GQA prefill: repeat KV groups across their query heads
+        kf = jnp.repeat(kf, r, axis=0)
+        vf = jnp.repeat(vf, r, axis=0)
     logits = jnp.einsum("htd,hsd->hts", q.astype(jnp.float32), kf)
     logits = logits / jnp.sqrt(jnp.asarray(d, jnp.float32))
     pos = jnp.arange(s)[None, None, :]  # (1, 1, S)

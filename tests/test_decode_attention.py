@@ -106,6 +106,44 @@ def test_decode_attend_respects_per_head_bounds():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_decode_attend_gqa_matches_f32_reference():
+    """(G, R, D) grouped queries: every query row of a group attends the
+    group's cache — matches the per-row f32 reference."""
+    g, r, s, d = 2, 4, 32, 16
+    cache = append_kv(init_kv_cache(g, s, d), _rand(1, (g, 21, d)), _rand(2, (g, 21, d)))
+    q = _rand(3, (g, r, d))
+    bound = jnp.full((g,), 21, jnp.int32)
+    out = decode_attend_q8kv(
+        cache.k_codes, cache.k_scale.reshape(g, s), cache.v_codes,
+        cache.v_scale.reshape(g, s), q, bound,
+    )
+    assert out.shape == (g, r, d)
+    kf, vf = cache.dequant_k(), cache.dequant_v()
+    logits = jnp.einsum("grd,gsd->grs", q, kf) / np.sqrt(d)
+    logits = jnp.where(jnp.arange(s)[None, None] < 21, logits, -1e30)
+    ref = jnp.einsum("grs,gsd->grd", jax.nn.softmax(logits, -1), vf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-3)
+
+
+def test_attend_gqa_matches_repeated_cache():
+    """attend() with r*H query heads == attend() with the cache's KV
+    explicitly repeated per query head — decode (fused path) and prefill
+    (XLA path) both."""
+    h, r, s, d = 2, 3, 16, 8
+    k, v = _rand(7, (h, 6, d)), _rand(8, (h, 6, d))
+    cache = append_kv(init_kv_cache(h, s, d), k, v)
+    rep = append_kv(
+        init_kv_cache(h * r, s, d), jnp.repeat(k, r, 0), jnp.repeat(v, r, 0)
+    )
+    for t, off in ((1, jnp.int32(5)), (2, jnp.int32(4))):
+        q = _rand(9 + t, (h * r, t, d))
+        np.testing.assert_allclose(
+            np.asarray(attend(cache, q, causal_offset=off)),
+            np.asarray(attend(rep, q, causal_offset=off)),
+            rtol=2e-2, atol=1e-3,
+        )
+
+
 def test_attend_t1_dispatch_matches_prefill_row():
     """attend(T=1) (fused path) ~= the last row of a T=2 prefill attend
     (f32 path) at bf16-operand tolerance — the dispatch seam is sound."""
