@@ -49,13 +49,14 @@ MLP, LAYERS, SEQ = 14336, 32, 2048
 GROUP = 128
 KV_DIM = KV_HEADS * HEAD_DIM  # 1024: the GQA projection width
 
+# fused projections — the standard serving layout: one (DIM, q+k+v)
+# matmul instead of three, one (DIM, 2*MLP) instead of gate+up. Same
+# bytes, 4 kernel launches per layer instead of 7 (launch overhead is
+# ~25 us/call through the tunnel, so this is worth ~2-3 ms/token).
 MATS = [
-    ("wq", DIM, DIM),
-    ("wk", DIM, KV_DIM),
-    ("wv", DIM, KV_DIM),
+    ("wqkv", DIM, DIM + 2 * KV_DIM),
     ("wo", DIM, DIM),
-    ("gate", DIM, MLP),
-    ("up", DIM, MLP),
+    ("gateup", DIM, 2 * MLP),
     ("down", MLP, DIM),
 ]
 
@@ -97,17 +98,25 @@ def _rms(x):
 def _layer_step(layer_params, x, cache, offset, t):
     """One decoder layer over (t, DIM) activations with the int8 cache."""
     h = _rms(x)
-    q = _lin(layer_params, "wq", h).reshape(t, HEADS, HEAD_DIM).transpose(1, 0, 2)
-    k = _lin(layer_params, "wk", h).reshape(t, KV_HEADS, HEAD_DIM).transpose(1, 0, 2)
-    v = _lin(layer_params, "wv", h).reshape(t, KV_HEADS, HEAD_DIM).transpose(1, 0, 2)
+    qkv = _lin(layer_params, "wqkv", h)
+    q = qkv[:, :DIM].reshape(t, HEADS, HEAD_DIM).transpose(1, 0, 2)
+    k = (
+        qkv[:, DIM : DIM + KV_DIM]
+        .reshape(t, KV_HEADS, HEAD_DIM)
+        .transpose(1, 0, 2)
+    )
+    v = (
+        qkv[:, DIM + KV_DIM :]
+        .reshape(t, KV_HEADS, HEAD_DIM)
+        .transpose(1, 0, 2)
+    )
     cache = append_kv(cache, k, v)
     att = attend(cache, q, causal_offset=offset)  # (H, t, D)
     att = att.transpose(1, 0, 2).reshape(t, DIM)
     x = x + _lin(layer_params, "wo", att)
     h2 = _rms(x)
-    gated = jax.nn.silu(_lin(layer_params, "gate", h2)) * _lin(
-        layer_params, "up", h2
-    )
+    gu = _lin(layer_params, "gateup", h2)
+    gated = jax.nn.silu(gu[:, :MLP]) * gu[:, MLP:]
     return x + _lin(layer_params, "down", gated), cache
 
 
@@ -123,6 +132,20 @@ def step_fn(params, caches, x, offset):
 
     x, caches = jax.lax.scan(body, x, (params, caches))
     return _rms(x), caches
+
+
+def step_fn_unrolled(params_list, caches_list, x, offset):
+    """Python-loop variant over PER-LAYER arrays: no (L, ...) stacking,
+    so pallas_call consumes each weight buffer directly instead of a
+    materialized dynamic-slice copy (lax.scan over stacked weights was
+    measured to re-copy every sliced block before the kernel could read
+    it — 2x the weight HBM traffic)."""
+    t = x.shape[0]
+    new_caches = []
+    for lp, cache in zip(params_list, caches_list):
+        x, cache = _layer_step(lp, x, cache, offset, t)
+        new_caches.append(cache)
+    return _rms(x), new_caches
 
 
 def init_caches(layers=LAYERS):
@@ -168,18 +191,30 @@ def main():
         p.size * p.dtype.itemsize + s.size * s.dtype.itemsize
         for p, s in params.values()
     )
+    # per-layer views for the unrolled step (the measured-fast layout)
+    params_list = [
+        {n: (p[i], s[i]) for n, (p, s) in params.items()} for i in range(LAYERS)
+    ]
     caches = init_caches()
     # warm the cache to a realistic fill (decode attends the whole window)
     fk = jax.random.normal(
         jax.random.PRNGKey(2), (LAYERS, KV_HEADS, SEQ - 8, HEAD_DIM), jnp.bfloat16
     ).astype(jnp.float32)
     caches = jax.vmap(append_kv)(caches, fk, fk)
+    caches_list = [jax.tree.map(lambda l: l[i], caches) for i in range(LAYERS)]
 
     x1 = jax.random.normal(jax.random.PRNGKey(1), (1, DIM), jnp.float32)
     sec_tok = per_step_seconds(
+        lambda s, xi: step_fn_unrolled(s[0], s[1], xi, jnp.int32(SEQ - 8))[0],
+        (params_list, caches_list), x1, iters=32,
+    )
+    sec_scan = per_step_seconds(
         lambda s, xi: step_fn(s[0], s[1], xi, jnp.int32(SEQ - 8))[0],
         (params, caches), x1, iters=32,
     )
+    # achievable bound: every weight byte read once at the measured
+    # ~700 GB/s read stream (bench.py hbm_read_gbps_measured)
+    bound = n_bytes / 700e9
     print(
         json.dumps(
             {
@@ -190,7 +225,14 @@ def main():
                 "weight_gb": round(n_bytes / 2**30, 2),
                 "layers": LAYERS,
                 "seq": SEQ,
-                "note": "bf16 weights (~14 GB) do not fit one v5e beside cache+activations; W4 does",
+                "frac_of_weight_read_bound": round(bound / sec_tok, 2),
+                "ms_per_token_scan_stacked": round(sec_scan * 1e3, 2),
+                "note": (
+                    "bf16 weights (~14 GB) do not fit one v5e beside "
+                    "cache+activations; W4 does. scan_stacked = lax.scan "
+                    "over (L,...) weights, which pays a materialized "
+                    "dynamic-slice copy per layer (docs/design.md)"
+                ),
                 "gqa": f"{HEADS}q/{KV_HEADS}kv",
             }
         ),
@@ -200,9 +242,10 @@ def main():
     tp = 128
     xp = jax.random.normal(jax.random.PRNGKey(3), (tp, DIM), jnp.float32)
     fresh = init_caches()
+    fresh_list = [jax.tree.map(lambda l: l[i], fresh) for i in range(LAYERS)]
     sec_pre = per_step_seconds(
-        lambda s, xi: step_fn(s[0], s[1], xi, jnp.int32(0))[0],
-        (params, fresh), xp, iters=8,
+        lambda s, xi: step_fn_unrolled(s[0], s[1], xi, jnp.int32(0))[0],
+        (params_list, fresh_list), xp, iters=8,
     )
     print(
         json.dumps(

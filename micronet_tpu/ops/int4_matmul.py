@@ -500,8 +500,10 @@ def _pick_bn(n: int, k2: int, group: int, bm: int, k: int) -> int:
     bn that (a) divides the padded-to-128 N exactly — a non-divisor bn
     pads a whole extra grid block, measured ~2x at the Llama shapes —
     and (b) fits the double-buffered VMEM budget. Sweep-validated on v5e:
-    up-proj (K=4096, N=14336) picks 2048 (0.75-0.99 of the weight-read
-    roofline across M in {1,8,16}); down-proj (K=14336) fits 512."""
+    up-proj (K=4096, N=14336) picks 2048 — 0.75-0.77 of the NOMINAL
+    weight-read roofline streaming, 0.89 of the chip's MEASURED
+    achievable read bandwidth single-buffer (BENCHMARKS.md, jitter-proof
+    harness); down-proj (K=14336) fits 512."""
     n128 = -(-n // 128) * 128
     best = 128
     for cand in range(128, min(n128, 4096) + 1, 128):
