@@ -167,19 +167,43 @@ class LlamaBlock(OrderedModule):
 
 
 class Llama(OrderedModule):
-    """Causal Llama-family LM (unbatched forward; ServeLoop-compatible)."""
+    """Causal Llama-family LM (unbatched forward; ServeLoop-compatible).
 
-    def __init__(self, cfg: LlamaConfig, *, rngs: nnx.Rngs):
+    ``w4_group > 0`` quantizes each block AS IT IS BUILT (and the lm_head
+    unless ``quantize_lm_head=False``): float transients peak at one
+    block (~0.9 GB at the 8B geometry) instead of the whole float model
+    (~28 GB, which does not fit next to anything on a 16 GB chip). The
+    post-hoc :func:`quantize_llama` stays for converting trained/loaded
+    float models at sizes where they fit."""
+
+    def __init__(
+        self,
+        cfg: LlamaConfig,
+        *,
+        rngs: nnx.Rngs,
+        w4_group: int = 0,
+        w4_bits: int = 4,
+        quantize_lm_head: bool = True,
+    ):
         self.cfg = cfg
         self.embed = nnx.Param(
             jax.random.normal(rngs.params(), (cfg.vocab, cfg.dim), jnp.float32)
             * 0.02
         )
-        self.blocks = nnx.List(
-            [LlamaBlock(cfg, rngs=rngs) for _ in range(cfg.n_layers)]
-        )
+        blocks = []
+        for _ in range(cfg.n_layers):
+            blk = LlamaBlock(cfg, rngs=rngs)
+            if w4_group:
+                _quantize_block(blk, w4_group, w4_bits)
+            blocks.append(blk)
+        self.blocks = nnx.List(blocks)
         self.norm = RMSNorm(cfg.dim, cfg.norm_eps)
         self.lm_head = Linear(cfg.dim, cfg.vocab, bias=False, rngs=rngs)
+        if w4_group and quantize_lm_head:
+            # the lm_head reads dim*vocab bytes EVERY decoded token — at
+            # the 8B geometry that's 2.1 GB/token in f32, >30% of the
+            # whole W4 body; W4 storage makes it 0.26 GB
+            self.lm_head = wo_quantize_linear(self.lm_head, w4_group, w4_bits)
 
     # -- serving API (the ServeLoop contract, same as TinyDecoder) ----------
 
@@ -237,15 +261,20 @@ class Llama(OrderedModule):
         return jnp.asarray(out, jnp.int32)
 
 
+def _quantize_block(blk: LlamaBlock, group: int, bits: int) -> None:
+    for name in ("wqkv", "wo", "gateup", "down"):
+        setattr(blk, name, wo_quantize_linear(getattr(blk, name), group, bits))
+
+
 def quantize_llama(model: Llama, group: int = 128, bits: int = 4) -> Llama:
     """Serving conversion: every block matmul (fused QKV, output proj,
     fused gate+up, down proj) becomes weight-only int4/int8 — hl8-packed
     nibbles + group scales riding the Pallas decode kernel on TPU.
-    Embedding, norms, and lm_head stay float (standard practice; the
-    lm_head can be quantized separately via ``wo_quantize_linear`` when
-    vocab memory dominates). Group sizes that don't divide a projection's
-    K fall back to per-column scales (see ``weight_only._quantize_2d``)."""
+    Embedding, norms, and lm_head stay float (standard practice; pass
+    ``w4_group`` to the constructor — or apply ``wo_quantize_linear`` to
+    ``lm_head`` — when vocab memory dominates). Group sizes that don't
+    divide a projection's K fall back to per-column scales (see
+    ``weight_only._quantize_2d``)."""
     for blk in model.blocks:
-        for name in ("wqkv", "wo", "gateup", "down"):
-            setattr(blk, name, wo_quantize_linear(getattr(blk, name), group, bits))
+        _quantize_block(blk, group, bits)
     return model

@@ -44,12 +44,22 @@ __all__ = ["Request", "ServeLoop"]
 
 @dataclasses.dataclass
 class Request:
-    """One generation request."""
+    """One generation request.
+
+    ``temperature == 0`` (default) decodes greedily; otherwise tokens are
+    sampled with temperature / top-k / top-p under a per-request seed.
+    Sampling keys are a function of (seed, absolute position) only —
+    never of batch layout — so a request's tokens are identical whether
+    it runs isolated or continuous-batched (see ``serve/sampling.py``)."""
 
     rid: int
     prompt: List[int]
     max_new_tokens: int
     eos: Optional[int] = None
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
     # filled by the loop:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -68,6 +78,14 @@ class ServeLoop:
         self.queue: Deque[Request] = deque()
         self.finished: Dict[int, Request] = {}
         self._fresh_single = model.init_cache()
+        # per-slot sampling params — traced arrays, so a request with
+        # different temperature/top_k/top_p joining never recompiles
+        self.temps = jnp.zeros((max_slots,), jnp.float32)
+        self.topks = jnp.zeros((max_slots,), jnp.int32)
+        self.topps = jnp.ones((max_slots,), jnp.float32)
+        self.seed_keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.zeros((max_slots,), jnp.uint32)
+        )
 
     # -- request lifecycle --------------------------------------------------
 
@@ -81,16 +99,29 @@ class ServeLoop:
         """Prefill ``req`` alone, then splice cache/offset/token into the
         batch state at ``slot`` (device state of the slot is fully
         overwritten — recycling cannot leak the previous request)."""
+        from .sampling import position_key, sample_token
+
         prompt = jnp.asarray(req.prompt, jnp.int32)
         logits, cache_single = self.model.forward(
             prompt, self.model.init_cache(), jnp.int32(0)
         )
-        first = jnp.argmax(logits[-1]).astype(jnp.int32)
+        seed_key = jax.random.PRNGKey(req.seed)
+        first = sample_token(
+            logits[-1],
+            position_key(seed_key, jnp.uint32(len(req.prompt))),
+            jnp.float32(req.temperature),
+            jnp.int32(req.top_k),
+            jnp.float32(req.top_p),
+        )
         self.caches = jax.tree.map(
             lambda full, one: full.at[slot].set(one), self.caches, cache_single
         )
         self.offsets = self.offsets.at[slot].set(len(req.prompt))
         self.next_tok = self.next_tok.at[slot, 0].set(first)
+        self.temps = self.temps.at[slot].set(req.temperature)
+        self.topks = self.topks.at[slot].set(req.top_k)
+        self.topps = self.topps.at[slot].set(req.top_p)
+        self.seed_keys = self.seed_keys.at[slot].set(seed_key)
         req.output.append(int(first))
         self.slot_req[slot] = req
         self._maybe_finish(slot)
@@ -117,10 +148,18 @@ class ServeLoop:
             self._admit(slot, self.queue.popleft())
         if not any(r is not None for r in self.slot_req):
             return
+        from .sampling import position_key, sample_token_batch
+
         logits, self.caches = self.model.forward_batch(
             self.next_tok, self.caches, self.offsets
         )
-        toks = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+        # the token produced from the input at position `off` sits at
+        # position off+1 — key it by that position (matches the isolated
+        # generate_sampled run token for token)
+        keys = jax.vmap(position_key)(self.seed_keys, self.offsets + 1)
+        toks = sample_token_batch(
+            logits[:, 0, :], keys, self.temps, self.topks, self.topps
+        )
         self.offsets = self.offsets + 1
         self.next_tok = toks[:, None]
         host_toks = jax.device_get(toks)
