@@ -109,6 +109,25 @@ def apply_rope(
     return out.astype(x.dtype)
 
 
+def apply_rope_batch(
+    x: jax.Array,  # (B, H, D) with D even — one token per request
+    positions: jax.Array,  # (B,) absolute position of each request's token
+    theta: float,
+) -> jax.Array:
+    """RoPE for the batched decode step: one token per request, each at
+    its own absolute position. Same rotate-half formula as
+    :func:`apply_rope` (elementwise-identical ops, so a request's
+    numbers do not depend on what shares its batch)."""
+    d = x.shape[-1]
+    half = d // 2
+    inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (B, half)
+    cos, sin = jnp.cos(ang)[:, None, :], jnp.sin(ang)[:, None, :]  # (B, 1, half)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
 class RMSNorm(OrderedModule):
     def __init__(self, dim: int, eps: float = 1e-5):
         self.weight = nnx.Param(jnp.ones((dim,), jnp.float32))
@@ -160,6 +179,78 @@ class LlamaBlock(OrderedModule):
         cache = append_kv(cache, k, v)
         att = attend(cache, q, causal_offset=offset)  # (n_heads, T, D)
         x = x + self.wo(att.transpose(1, 0, 2).reshape(t, cfg.dim))
+        h2 = self.mlp_norm(x)
+        gu = self.gateup(h2)
+        gated = jax.nn.silu(gu[:, : cfg.mlp_dim]) * gu[:, cfg.mlp_dim :]
+        return x + self.down(gated), cache
+
+    def step_batch(
+        self,
+        x: jax.Array,  # (B, dim) — ONE token per request
+        cache: QuantKVCache,  # batched: leaves (B, H, S, D), length (B,)
+        offsets: jax.Array,  # (B,) absolute position of each token
+    ) -> Tuple[jax.Array, QuantKVCache]:
+        """Batched DECODE step — the serving throughput path.
+
+        ``vmap(forward)`` turns each projection into B separate M=1
+        matmuls, so the weights are streamed once per LANE worth of MXU
+        work; this path instead runs every projection ONCE at M=B (the
+        weight read amortizes over the whole batch — decode is
+        weight-read-bound, so tokens/s scales ~linearly with B) and
+        batches attention by folding B into the fused decode kernel's
+        grid (G = B·n_kv_heads; the kernel's per-program SMEM bound
+        vector already carries per-slot fill levels).
+
+        Per-request numerics are independent of batch membership: rows
+        of a matmul, RoPE, the KV append, and the attention programs
+        are all per-request — the ServeLoop isolation oracle holds.
+        """
+        cfg = self.cfg
+        b = x.shape[0]
+        h = self.attn_norm(x)
+        qkv = self.wqkv(h)  # one (B, dim+2*kv_dim) matmul
+        q = qkv[:, : cfg.dim].reshape(b, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, cfg.dim : cfg.dim + cfg.kv_dim].reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        v = qkv[:, cfg.dim + cfg.kv_dim :].reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        q = apply_rope_batch(q, offsets, cfg.rope_theta)
+        k = apply_rope_batch(k, offsets, cfg.rope_theta)
+
+        from ..ops.decode_attention import decode_attend_q8kv_cur
+        from ..quant.kv_cache import append_kv_batch_quantized, quantize_kv_rows
+
+        # deferred append: quantize the current rows ONCE, attend over
+        # the pre-append cache + the rows as a separate kernel operand,
+        # and scatter the SAME codes into the cache afterwards. The
+        # scatter output only feeds the NEXT step (it aliases the serving
+        # loop's carried state); appending before attending would force a
+        # full cache copy between the scatter and the kernel operand.
+        kq, ks = quantize_kv_rows(k)  # (B, hkv, D) int8, (B, hkv, 1)
+        vq, vs = quantize_kv_rows(v)
+        hkv, s, d = cfg.n_kv_heads, cfg.max_seq, cfg.head_dim
+        r = cfg.n_heads // hkv
+        bound = jnp.minimum(cache.length, offsets)  # cache w/o current token
+        att = decode_attend_q8kv_cur(
+            cache.k_codes.reshape(b * hkv, s, d),
+            cache.k_scale.reshape(b * hkv, s),
+            cache.v_codes.reshape(b * hkv, s, d),
+            cache.v_scale.reshape(b * hkv, s),
+            # query head i reads KV group i // r — (b, hkv, r, d) keeps
+            # head order so the output reshape restores (b, n_heads*d)
+            q.reshape(b, hkv, r, d).reshape(b * hkv, r, d).astype(jnp.float32),
+            jnp.broadcast_to(bound[:, None], (b, hkv)).reshape(b * hkv),
+            kq.reshape(b * hkv, d),
+            ks.reshape(b * hkv),
+            vq.reshape(b * hkv, d),
+            vs.reshape(b * hkv),
+        )  # (B*hkv, r, D)
+        cache = append_kv_batch_quantized(
+            cache, kq, ks[..., 0], vq, vs[..., 0]
+        )
+        x = x + self.wo(att.reshape(b, cfg.n_heads * d).astype(x.dtype))
         h2 = self.mlp_norm(x)
         gu = self.gateup(h2)
         gated = jax.nn.silu(gu[:, : cfg.mlp_dim]) * gu[:, cfg.mlp_dim :]
@@ -245,6 +336,27 @@ class Llama(OrderedModule):
             return nnx.merge(gdef, state).forward(tok, cache, off)
 
         return jax.vmap(one)(tokens, caches, offset)
+
+    def decode_batch(self, tokens, caches, offsets):
+        """Batched DECODE fast path (ONE token per request): every
+        projection and the lm_head run once at M=B instead of B vmapped
+        M=1 matmuls, and attention folds the batch into the fused
+        kernel's grid (see :meth:`LlamaBlock.step_batch`). Decode is
+        weight-read-bound, so tokens/s/chip scales ~linearly with B —
+        this is the continuous-batching throughput path
+        (:class:`..serve.ServeLoop` prefers it when present).
+
+        tokens (B, 1) int32; caches = list of batched per-layer caches
+        (leaves (B, H, S, D), lengths (B,)); offsets (B,). Returns
+        logits (B, 1, vocab) + new caches — the ``forward_batch``
+        contract at T=1.
+        """
+        x = self.embed[...][tokens[:, 0]]  # (B, dim)
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk.step_batch(x, cache, offsets)
+            new_caches.append(cache)
+        return self.lm_head(self.norm(x))[:, None, :], new_caches
 
     def generate(self, prompt: jax.Array, steps: int) -> jax.Array:
         """Greedy decode ``steps`` tokens after ``prompt``."""

@@ -37,7 +37,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_attend_q8kv", "decode_attend_q8kv_xla"]
+__all__ = [
+    "decode_attend_q8kv",
+    "decode_attend_q8kv_xla",
+    "decode_attend_q8kv_cur",
+    "decode_attend_q8kv_cur_xla",
+]
 
 _QROWS = 8  # f32 sublane tile: the single query row rides a (8, D) block
 
@@ -130,6 +135,161 @@ def decode_attend_q8kv(
         ),
     )(q8, k_codes, ks3, v_codes, vs3, bound2)
     return out[:, :r, :] if gqa else out[:, 0, :]
+
+
+def _kernel_cur(
+    q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+    kcur_ref, kscur_ref, vcur_ref, vscur_ref, bound_ref, out_ref,
+):
+    """Like :func:`_kernel`, plus ONE extra softmax column for the
+    current token's (quantized) K/V row passed as a separate operand.
+
+    Why: feeding the cache through an append (scatter/DUS) and then into
+    a pallas operand forces XLA to materialize a full copy of the
+    appended cache buffers every step (measured: +0.4 ms/slot at the
+    Llama-8B shape — 2-3x the actual cache read). Deferring the append
+    out of the kernel's dataflow (the scatter output is only carried to
+    the NEXT step, where it aliases the loop carry) makes the append
+    ~free; the kernel attends over cache[<bound] + the current row.
+    Numerics match append-then-attend: the current row enters as int8
+    codes (exact in bf16) with its f32 scale folded after the dot, the
+    same precision class as the cached columns."""
+    g = pl.program_id(0)
+    bound = bound_ref[g]
+    q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
+    kc = kc_ref[0]  # (S, D) int8
+    d = q_ref.shape[-1]
+    inv = 1.0 / (d**0.5)
+    logits = jax.lax.dot_general(
+        q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (8, S)
+    logits = logits * ks_ref[0] * inv
+    pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = pos < bound
+    logits = jnp.where(valid, logits, -jnp.inf)
+    # current row: (1, D) int8 codes, scalar scale — one extra column
+    lcur = jax.lax.dot_general(
+        q, kcur_ref[0].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (8, 1)
+    lcur = lcur * kscur_ref[g] * inv
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lcur)
+    p = jnp.exp(logits - m)
+    p = jnp.where(valid, p, 0.0)
+    pcur = jnp.exp(lcur - m)  # (8, 1)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + pcur
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        pv, vc_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (8, D)
+    vcur = vcur_ref[0].astype(jnp.float32) * vscur_ref[g]  # (1, D)
+    acc = acc + pcur * vcur
+    out_ref[0] = acc / jnp.maximum(denom, 1e-30)
+
+
+def decode_attend_q8kv_cur(
+    k_codes: jax.Array,  # (G, S, D) int8 — cache WITHOUT the current token
+    k_scale: jax.Array,  # (G, S) f32
+    v_codes: jax.Array,  # (G, S, D) int8
+    v_scale: jax.Array,  # (G, S) f32
+    q: jax.Array,  # (G, D) or (G, R, D) f32 (GQA, R <= 8)
+    bound: jax.Array,  # (G,) int32 — cached positions < bound are visible
+    k_cur: jax.Array,  # (G, D) int8 — the current token's K codes
+    k_cur_scale: jax.Array,  # (G,) f32
+    v_cur: jax.Array,  # (G, D) int8
+    v_cur_scale: jax.Array,  # (G,) f32
+) -> jax.Array:
+    """Fused decode attention over cache[<bound] PLUS the current token's
+    quantized K/V row (deferred-append serving path — see
+    :func:`_kernel_cur`). The caller appends the same codes/scales to the
+    cache afterwards (a cheap carried scatter: its output never feeds a
+    kernel in the same step)."""
+    g, s, d = k_codes.shape
+    gqa = q.ndim == 3
+    r = q.shape[1] if gqa else 1
+    if jax.default_backend() != "tpu" or d % 128 or s % 128 or r > _QROWS:
+        return decode_attend_q8kv_cur_xla(
+            k_codes, k_scale, v_codes, v_scale, q, bound,
+            k_cur, k_cur_scale, v_cur, v_cur_scale,
+        )
+    q_rows = q if gqa else q[:, None, :]
+    q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
+    out = pl.pallas_call(
+        _kernel_cur,
+        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, _QROWS, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) k_cur_scale
+                pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) v_cur_scale
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) bound
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _QROWS, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * (s + 1) * d * 2,
+            bytes_accessed=2 * g * s * d + 2 * g * s * 4 + g * d * 10,
+            transcendentals=g * (s + 1),
+        ),
+    )(
+        q8, k_codes, k_scale.reshape(g, 1, s), v_codes,
+        v_scale.reshape(g, 1, s), k_cur.reshape(g, 1, d),
+        k_cur_scale.astype(jnp.float32), v_cur.reshape(g, 1, d),
+        v_cur_scale.astype(jnp.float32), bound.astype(jnp.int32),
+    )
+    return out[:, :r, :] if gqa else out[:, 0, :]
+
+
+def decode_attend_q8kv_cur_xla(
+    k_codes, k_scale, v_codes, v_scale, q, bound,
+    k_cur, k_cur_scale, v_cur, v_cur_scale,
+) -> jax.Array:
+    """Oracle / CPU fallback for the deferred-append kernel: same math as
+    :func:`decode_attend_q8kv_xla` with one extra (always-visible)
+    column for the current row."""
+    g, s, d = k_codes.shape
+    gqa = q.ndim == 3
+    q_rows = q if gqa else q[:, None, :]  # (G, R, D)
+    qb = q_rows.astype(jnp.bfloat16)
+    logits = jnp.einsum(
+        "grd,gsd->grs", qb, k_codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * k_scale[:, None, :] / (d**0.5)
+    valid = jnp.arange(s)[None, None, :] < bound[:, None, None]
+    logits = jnp.where(valid, logits, -jnp.inf)
+    lcur = jnp.einsum(
+        "grd,gd->gr", qb, k_cur.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    lcur = lcur * k_cur_scale[:, None] / (d**0.5)  # (G, R)
+    m = jnp.maximum(jnp.max(logits, axis=-1), lcur)[..., None]  # (G, R, 1)
+    p = jnp.where(valid, jnp.exp(logits - m), 0.0)
+    pcur = jnp.exp(lcur[..., None] - m)  # (G, R, 1)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + pcur
+    pv = (p * v_scale[:, None, :]).astype(jnp.bfloat16)
+    acc = jnp.einsum(
+        "grs,gsd->grd", pv, v_codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    vcur = v_cur.astype(jnp.float32) * v_cur_scale[:, None]  # (G, D)
+    acc = acc + pcur * vcur[:, None, :]
+    out = acc / jnp.maximum(denom, 1e-30)
+    return out if gqa else out[:, 0, :]
 
 
 def decode_attend_q8kv_xla(

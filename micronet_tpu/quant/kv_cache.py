@@ -32,6 +32,8 @@ __all__ = [
     "QuantKVCache",
     "init_kv_cache",
     "append_kv",
+    "append_kv_batch_quantized",
+    "quantize_kv_rows",
     "attend",
     "kv_cache_bytes",
 ]
@@ -98,6 +100,46 @@ def append_kv(
         v_codes=upd(cache.v_codes, vq),
         v_scale=upd(cache.v_scale, vs),
         length=i + k.shape[1],
+    )
+
+
+def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Public row quantizer: (..., D) -> (codes int8, scale (..., 1) f32).
+    The same symmetric absmax/127 rule :func:`append_kv` applies — used by
+    the deferred-append decode path to quantize the current token's K/V
+    once, feed the codes to the attention kernel, AND scatter them into
+    the cache (so kernel column and cached column are bit-identical)."""
+    return _quantize_vec(x)
+
+
+def append_kv_batch_quantized(
+    cache: QuantKVCache,  # batched: leaves (B, H, S, D), length (B,)
+    k_codes: jax.Array,  # (B, H, D) int8 — pre-quantized current rows
+    k_scale: jax.Array,  # (B, H) f32
+    v_codes: jax.Array,  # (B, H, D) int8
+    v_scale: jax.Array,  # (B, H) f32
+) -> QuantKVCache:
+    """Per-slot single-token append on a BATCHED cache, each slot at its
+    own fill pointer, via one unique/sorted scatter per buffer.
+
+    This is the serving fast path's append: ``vmap(append_kv)`` lowers
+    the per-slot dynamic_update_slice to a general scatter whose output,
+    when consumed by the attention kernel in the same step, forces XLA
+    to materialize a full copy of the cache buffers (measured ~0.4
+    ms/slot at the Llama-8B shape). Here the attention kernel reads the
+    PRE-append cache plus the current row as a separate operand
+    (ops/decode_attention.decode_attend_q8kv_cur), so this scatter's
+    output is only carried to the next step — XLA aliases it in place."""
+    b = k_codes.shape[0]
+    rows = jnp.arange(b)
+    i = cache.length
+    kw = dict(unique_indices=True, indices_are_sorted=True)
+    return QuantKVCache(
+        k_codes=cache.k_codes.at[rows, :, i, :].set(k_codes, **kw),
+        k_scale=cache.k_scale.at[rows, :, i, 0].set(k_scale, **kw),
+        v_codes=cache.v_codes.at[rows, :, i, :].set(v_codes, **kw),
+        v_scale=cache.v_scale.at[rows, :, i, 0].set(v_scale, **kw),
+        length=i + 1,
     )
 
 

@@ -150,9 +150,14 @@ class ServeLoop:
             return
         from .sampling import position_key, sample_token_batch
 
-        logits, self.caches = self.model.forward_batch(
-            self.next_tok, self.caches, self.offsets
+        # decode_batch (when the model provides it) is the M=B fast path:
+        # one matmul per projection for the whole batch instead of B
+        # vmapped M=1 matmuls — same per-request numerics, ~B× the
+        # weight-read amortization (decode is weight-bound)
+        step_fn = getattr(self.model, "decode_batch", None) or (
+            self.model.forward_batch
         )
+        logits, self.caches = step_fn(self.next_tok, self.caches, self.offsets)
         # the token produced from the input at position `off` sits at
         # position off+1 — key it by that position (matches the isolated
         # generate_sampled run token for token)

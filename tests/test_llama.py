@@ -184,6 +184,62 @@ def test_serve_loop_over_w4_llama_matches_isolated():
     assert done[1].output == isolated([9, 26, 5, 35], 4)
 
 
+def test_decode_batch_matches_per_request():
+    """The M=B decode fast path (one matmul per projection, batch folded
+    into the attention kernel grid) reproduces each request's isolated
+    forward — at DIFFERENT per-slot offsets/fill levels."""
+    model = quantize_llama(_tiny(max_seq=16), group=16)
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+
+    # per-request prefill, then splice into a batched cache (the ServeLoop
+    # admission shape)
+    caches_b = model.init_cache_batch(2)
+    offs, next_tok, refs = [], [], []
+    for i, p in enumerate(prompts):
+        toks = jnp.asarray(p, jnp.int32)
+        logits, cache_i = model.forward(toks, model.init_cache(), jnp.int32(0))
+        caches_b = jax.tree.map(
+            lambda full, one: full.at[i].set(one), caches_b, cache_i
+        )
+        offs.append(len(p))
+        tok = int(jnp.argmax(logits[-1]))
+        next_tok.append(tok)
+        # isolated decode step: the oracle for this slot
+        li, _ = model.forward(
+            jnp.asarray([tok], jnp.int32), cache_i, jnp.int32(len(p))
+        )
+        refs.append(np.asarray(li[0]))
+
+    offsets = jnp.asarray(offs, jnp.int32)
+    lb, cb = model.decode_batch(
+        jnp.asarray(next_tok, jnp.int32)[:, None], caches_b, offsets
+    )
+    assert lb.shape == (2, 1, 64)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(lb[i, 0]), refs[i], rtol=1e-5, atol=1e-5
+        )
+    # caches advanced per-slot
+    assert [int(l) for l in np.asarray(cb[0].length)] == [o + 1 for o in offs]
+
+
+def test_decode_batch_matches_forward_batch():
+    """Fast path vs the vmap reference on identical batched state."""
+    model = quantize_llama(_tiny(max_seq=16), group=16)
+    caches = model.init_cache_batch(3)
+    toks = jnp.asarray([[5], [6], [7]], jnp.int32)
+    offs = jnp.zeros((3,), jnp.int32)
+    l_ref, c_ref = model.forward_batch(toks, caches, offs)
+    l_fast, c_fast = model.decode_batch(toks, caches, offs)
+    np.testing.assert_allclose(
+        np.asarray(l_fast), np.asarray(l_ref), rtol=1e-5, atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(c_fast), jax.tree.leaves(c_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_llama_tp_sharded_matches_single_device():
     """Channel-shard the W4 llama over an 8-way 'model' mesh: packed
     nibbles/group scales shard on their output axis, GSPMD inserts the
