@@ -5,18 +5,29 @@ Prints ONE JSON line:
 
 Headline: NIN-GC IAO **W4A4** (bn-fused, nibble-packed weights, int engine)
 images/sec at batch 1024 vs the same model's FP32 eval throughput — the
-BASELINE.json headline config. W8A8 engine/fake-quant numbers ride in
-`detail` for continuity with rounds 1-2. The reference's "FPS improves
-after deployment conversion" oracle
+BASELINE.json headline config. The reference's "FPS improves after
+deployment conversion" oracle
 (dorefa/quant_model_test/quant_model_test.py:28-65) made quantitative;
 the reference publishes no absolute throughput numbers (SURVEY.md §6).
 
-`detail` additionally captures (VERDICT r1 item 8):
+BUDGETED (VERDICT r3 item 1: the round-3 bench timed out in the driver,
+rc=124, and shipped zero verified numbers): every section runs under a
+global wall-clock budget (default 400 s, env ``BENCH_BUDGET_S``).
+Sections execute in priority order; a section that would not fit is
+skipped and recorded in ``detail.skipped_sections`` — the headline JSON
+ALWAYS prints. Section costs are dominated by XLA compiles (~10-40 s
+each on this tunneled chip), so the budget checks run between compiles,
+not between timed iterations.
+
+`detail` captures (when budget allows):
+  - W8A8 engine + fake-quant throughput (rounds 1-2 continuity),
   - ResNet18 int8 engine vs fp32 (residual graphs through the
     dataflow-traced chain planner, IntAdd union-scale path),
-  - QAT training-step throughput (fp32 / IAO W8A8 / IAO + bn_fuse),
+  - QAT training-step throughput (fp32 / IAO W4A4 bn_fuse, plus W8A8
+    variants when time remains),
   - the weight-only int4 W4A16 Pallas decode kernel vs bf16 matmul at a
-    Llama-3-8B MLP shape.
+    Llama-3-8B MLP shape (M in {1, 8}; streaming + resident regimes),
+  - a Llama-8B-shaped W4+int8-KV decode step vs bf16.
 
 All timings use the slope-based on-device harness in
 micronet_tpu.utils.timing (naive wall-clock lies in this environment:
@@ -24,23 +35,97 @@ launch RPC overhead + execution-result caching).
 """
 
 import json
+import os
+import time
 
 import jax
+
+# persistent XLA compilation cache: the bench's cost is ~90% compiles
+# (9-layer quantized convnets + scan timing harnesses, 20-60 s each on
+# the tunneled chip). The cache is keyed by HLO, so any earlier run of
+# this same file (builder validation, a previous round) makes the driver
+# run compile-free and the whole suite fits far inside the budget.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 from flax import nnx
 
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
 
-def _eval_fps(model, x):
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
+
+
+def _eval_fps(model, x, iters=64):
     from micronet_tpu.utils import throughput
 
     gdef, state = nnx.split(model)
-    fps, _ = throughput(lambda s, xi: nnx.merge(gdef, s)(xi), state, x)
+    fps, _ = throughput(lambda s, xi: nnx.merge(gdef, s)(xi), state, x, iters=iters)
     return fps
+
+
+def _seed_scales(q):
+    """Seed every quantizer's observer range + qparams directly instead of
+    running calibration forwards. Throughput is INDEPENDENT of the scale
+    VALUES (same ops either way); the round-3 bench spent its driver
+    budget compiling the train-mode QAT graph (double conv + observers +
+    STE) just to make scales 'realistic' — ~8 minutes of compile for
+    numbers the timing never reads. Weight scales come from the actual
+    absmax (cheap eager reductions), activation ranges from a nominal
+    ±3 — so the frozen engine is structurally identical to a calibrated
+    one (same dtypes, same chains, same clip ranges)."""
+    import jax.numpy as jnp
+
+    from micronet_tpu.quant.quantizers import (
+        asymmetric_qparams,
+        symmetric_qparams,
+    )
+
+    def seed(quant, min_v, max_v):
+        quant.min_val[...] = jnp.broadcast_to(
+            jnp.asarray(min_v, jnp.float32), quant.min_val[...].shape
+        )
+        quant.max_val[...] = jnp.broadcast_to(
+            jnp.asarray(max_v, jnp.float32), quant.max_val[...].shape
+        )
+        fn = symmetric_qparams if quant.symmetric else asymmetric_qparams
+        s, zp = fn(
+            quant.min_val[...], quant.max_val[...], quant.qmin, quant.qmax
+        )
+        quant.scale[...] = s
+        quant.zero_point[...] = zp
+
+    for _, m in nnx.iter_modules(q):
+        aq = getattr(m, "activation_quantizer", None)
+        if aq is not None and hasattr(aq, "scale"):
+            seed(aq, -3.0, 3.0)
+        wq = getattr(m, "weight_quantizer", None)
+        w = getattr(m, "weight", None)
+        if wq is not None and hasattr(wq, "scale") and w is not None:
+            wv = w[...]
+            mshape = wq.min_val[...].shape
+            import numpy as _np
+
+            if int(_np.prod(mshape)) == wv.shape[-1]:
+                # per-out-channel ("C"/"FC"): reduce all axes but the last
+                lo = jnp.min(wv, axis=tuple(range(wv.ndim - 1)))
+                hi = jnp.max(wv, axis=tuple(range(wv.ndim - 1)))
+            else:  # per-layer ("L") scalar
+                lo = jnp.min(wv)
+                hi = jnp.max(wv)
+            seed(wq, lo.reshape(mshape), hi.reshape(mshape))
 
 
 def _bench_nin_gc(detail):
     """NIN-GC engine throughput at the BASELINE headline config (W4A4) and
-    the W8A8 comparison point, both vs the same model's FP32 eval."""
+    — budget permitting — the W8A8 comparison point, both vs the same
+    model's FP32 eval."""
     from micronet_tpu.infer import freeze_int, fuse_bn_iao
     from micronet_tpu.models import nin_gc
     from micronet_tpu.nn import eval_mode, prepare, train_mode
@@ -53,30 +138,34 @@ def _bench_nin_gc(detail):
     eval_mode(fp_model)
     fps_fp = _eval_fps(fp_model, x)
 
-    def engine_fps(a_bits, w_bits, want_fq_fps=False):
-        # quantized inference graph: QAT-prepared, BN-fused, pre-quantized
+    def build_engine(a_bits, w_bits):
         cfg = QuantConfig(a_bits=a_bits, w_bits=w_bits, bn_fuse=True)
         q = prepare(nin_gc.Net(rngs=nnx.Rngs(0)), cfg, method="iao")
-        train_mode(q)
-        for i in range(2):  # move observers/BN off init so scales are realistic
-            q(jax.random.normal(jax.random.PRNGKey(i), (32, 32, 32, 3)))
+        _seed_scales(q)
         fused = fuse_bn_iao(q, cfg)
         eval_mode(fused)
-        fps_q = _eval_fps(fused, x) if want_fq_fps else None
         engine = freeze_int(fused, example_input=x[:1])
         eval_mode(engine)
-        return _eval_fps(engine, x), fps_q
+        return engine, fused
 
-    fps_w8a8, fps_fq = engine_fps(8, 8, want_fq_fps=True)
-    fps_w4a4, _ = engine_fps(4, 4)
-
+    engine4, _ = build_engine(4, 4)
+    fps_w4a4 = _eval_fps(engine4, x)
     detail.update(
         fp32_img_s=round(fps_fp, 1),
-        fake_quant_img_s=round(fps_fq, 1),
-        int_engine_w8a8_img_s=round(fps_w8a8, 1),
         int_engine_w4a4_img_s=round(fps_w4a4, 1),
-        w8a8_vs_fp32=round(fps_w8a8 / fps_fp, 3),
     )
+    # W8A8 engine + fake-quant points cost two more compiles — only when
+    # they fit (the headline never depends on them)
+    if _remaining() > 300:
+        engine8, fused8 = build_engine(8, 8)
+        fps_w8a8 = _eval_fps(engine8, x)
+        detail.update(
+            int_engine_w8a8_img_s=round(fps_w8a8, 1),
+            w8a8_vs_fp32=round(fps_w8a8 / fps_fp, 3),
+        )
+        if _remaining() > 280:
+            fps_fq = _eval_fps(fused8, x)
+            detail["fake_quant_img_s"] = round(fps_fq, 1)
     return fps_w4a4, fps_fp
 
 
@@ -95,9 +184,7 @@ def _bench_resnet18(detail):
 
     cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
     q = prepare(resnet18(rngs=nnx.Rngs(0)), cfg, method="iao")
-    train_mode(q)
-    for i in range(2):
-        q(jax.random.normal(jax.random.PRNGKey(i), (8, 32, 32, 3)))
+    _seed_scales(q)
     fused = fuse_bn_iao(q, cfg)
     eval_mode(fused)
     engine = freeze_int(fused, example_input=x[:1])
@@ -122,7 +209,7 @@ def _bench_train(detail):
 
     batch = 256
 
-    def measure(method, cfg, iters=32):
+    def measure(method, cfg, iters=24):
         model = nin_gc.Net(rngs=nnx.Rngs(0))
         if method:
             model = prepare(model, cfg, method=method, inplace=True)
@@ -148,30 +235,32 @@ def _bench_train(detail):
         sec = train_step_seconds(step, state, x, y, iters=iters)
         return batch / sec
 
+    # the two headline training points; W8A8 variants only if they fit
     detail["train_fp32_img_s"] = round(measure(None, None), 1)
-    detail["train_iao_w8a8_img_s"] = round(
-        measure("iao", QuantConfig(a_bits=8, w_bits=8)), 1
-    )
-    detail["train_iao_bnfuse_img_s"] = round(
-        measure("iao", QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)), 1
-    )
     detail["train_iao_w4a4_bnfuse_img_s"] = round(
         measure("iao", QuantConfig(a_bits=4, w_bits=4, bn_fuse=True)), 1
     )
+    if _remaining() > 120:
+        detail["train_iao_w8a8_img_s"] = round(
+            measure("iao", QuantConfig(a_bits=8, w_bits=8)), 1
+        )
+    if _remaining() > 120:
+        detail["train_iao_bnfuse_img_s"] = round(
+            measure("iao", QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)), 1
+        )
 
 
 def _bench_int4(detail):
     """hl8 W4A16 grouped kernel at the Llama-3-8B up-proj shape, M in
-    {1, 8, 16}, two measurement regimes (docs/design.md round 3):
+    {1, 8}, two measurement regimes (docs/design.md round 3; round 4
+    trims M=16 and the trial counts to fit the driver budget):
 
     - STREAMING: 8 distinct weight buffers cycled in an unrolled chain,
       so every step reads its weights from cold HBM — the serving model
       (every layer streams once per token). Roofline fractions against
       the HBM weight-read bound use THIS number (north star: >= 80%).
-    - SINGLE-BUFFER: one weight buffer reused across the scan — the
-      best case (warm paths, no buffer cycling). Still HBM-read-bound:
-      measured within ~15% of the streaming regime, which falsifies the
-      earlier "XLA pins the 29 MB pack in VMEM" interpretation.
+    - SINGLE-BUFFER ("resident"): one weight buffer reused across the
+      scan — the best case (warm paths, no buffer cycling).
 
     Roofline honesty: ``_roofline`` fractions use the chip's NOMINAL
     bandwidth (819 GB/s on v5e); ``_roofline_achieved`` divides by the
@@ -230,15 +319,16 @@ def _bench_int4(detail):
 
             return run
 
-        # (8, 72) scan counts x 8 unrolled copies = 512 kernel steps of
-        # separation (~25-50 ms of signal vs ~10 ms RPC jitter; the old
-        # (8, 32) gave ~10 ms of signal and round-to-round contradictions)
-        ks = (8, 72)
+        # (8, 48) scan counts x 8 unrolled copies = 320 kernel steps of
+        # separation (~16-50 ms of slope signal vs ~10 ms RPC jitter;
+        # round-3's (8, 72) x 5 trials was accurate but blew the driver
+        # budget — 3 trials at (8, 48) keeps the median stable)
+        ks = (8, 48)
         runners = {kk: make(kk) for kk in ks}
         for kk in ks:
             np.asarray(runners[kk](packs, gss, x, jnp.int32(0)))
         slopes = []
-        for t in range(5):
+        for t in range(3):
             t0 = _time.perf_counter()
             np.asarray(runners[ks[0]](packs, gss, x, jnp.int32(100 + t)))
             ts = _time.perf_counter() - t0
@@ -249,19 +339,21 @@ def _bench_int4(detail):
         slopes.sort()
         return slopes[len(slopes) // 2]
 
-    for m in (1, 8, 16):
-        # iters=1024: ~770 steps of separation x ~50-160 µs/step = 40-120 ms
-        # of slope signal, an order of magnitude above the ~10 ms RPC
-        # jitter of the tunneled chip (round-2's iters=256 produced
-        # 0-µs/unstable readings at these shapes)
+    for m in (1, 8):
+        if m != 1 and _remaining() < 150:
+            detail["int4_skipped_m"] = m
+            break
+        # iters=512: ~380 steps of separation x ~50-160 µs/step = 20-60 ms
+        # of slope signal, well above the ~10 ms RPC jitter of the
+        # tunneled chip
         x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
         sec_bf16 = per_step_seconds(
             lambda s, xi: (xi.astype(jnp.bfloat16) @ s).astype(jnp.float32),
-            wb, x, iters=1024,
+            wb, x, iters=512,
         )
         sec_res = per_step_seconds(
             lambda s, xi: int4_matmul_grouped_hl8(xi, s[0], s[1]),
-            (packed, gscale), x, iters=1024,
+            (packed, gscale), x, iters=512,
         )
         sec_str = stream_seconds(m)
         bytes_r = k // 2 * n + (k // g) * n * 4 + m * k * 4 + m * n * 4
@@ -282,11 +374,11 @@ def _bench_llm_decode(detail):
     """One Llama-8B-shaped decode step: W4 grouped weights + int8 KV vs
     bf16 weights + bf16 KV (benchmarks/llm_decode.py, condensed)."""
     import importlib.util
-    import os
+    import os as _os
 
     spec = importlib.util.spec_from_file_location(
         "llm_decode",
-        os.path.join(os.path.dirname(__file__), "benchmarks", "llm_decode.py"),
+        _os.path.join(_os.path.dirname(__file__), "benchmarks", "llm_decode.py"),
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -310,33 +402,83 @@ def _bench_llm_decode(detail):
     cache = append_kv(cache, fk, fv)
     sec_q = per_step_seconds(
         lambda s, xi: mod.decode_step_w4(s[0], s[1], xi)[0], (params, cache), x,
-        iters=256,
+        iters=192,
     )
-    wsb = {n: w.astype(jnp.bfloat16) for n, w in ws.items()}
-    sec_b = per_step_seconds(
-        lambda s, xi: mod.decode_step_bf16(
-            s[0], s[1], s[2], xi
-        ),
-        (wsb, fk.astype(jnp.bfloat16), fv.astype(jnp.bfloat16)),
-        x,
-        iters=256,
+    detail["decode_w4_int8kv_us"] = round(sec_q * 1e6, 1)
+    if _remaining() > 90:
+        wsb = {n: w.astype(jnp.bfloat16) for n, w in ws.items()}
+        sec_b = per_step_seconds(
+            lambda s, xi: mod.decode_step_bf16(s[0], s[1], s[2], xi),
+            (wsb, fk.astype(jnp.bfloat16), fv.astype(jnp.bfloat16)),
+            x,
+            iters=192,
+        )
+        detail.update(
+            decode_bf16_us=round(sec_b * 1e6, 1),
+            decode_w4_vs_bf16=round(sec_b / sec_q, 2),
+        )
+
+
+def _bench_attn_s8k(detail):
+    """Long-context decode attention: the S-blocked online-softmax kernel
+    at S=8192 (cache no longer VMEM-resident) vs the whole-cache kernel
+    at S=2048 — the serving-realism row (VERDICT r3 item 8). 8 KV heads,
+    D=128, GQA R=4: one Llama-3-8B layer's decode attention."""
+    from micronet_tpu.ops.decode_attention import (
+        decode_attend_q8kv,
+        decode_attend_q8kv_blocked,
     )
-    detail.update(
-        decode_w4_int8kv_us=round(sec_q * 1e6, 1),
-        decode_bf16_us=round(sec_b * 1e6, 1),
-        decode_w4_vs_bf16=round(sec_b / sec_q, 2),
-    )
+    from micronet_tpu.quant.kv_cache import append_kv, init_kv_cache
+    from micronet_tpu.utils.timing import per_step_seconds
+
+    g, d, r = 8, 128, 4
+    for s, tag in ((2048, "s2k"), (8192, "s8k")):
+        fill = s - 1
+        cache = append_kv(
+            init_kv_cache(g, s, d),
+            jax.random.normal(jax.random.PRNGKey(1), (g, fill, d)),
+            jax.random.normal(jax.random.PRNGKey(2), (g, fill, d)),
+        )
+        q = jax.random.normal(jax.random.PRNGKey(3), (g, r, d))
+        bound = jnp.full((g,), fill, jnp.int32)
+        fn = decode_attend_q8kv if s <= 4096 else decode_attend_q8kv_blocked
+        sec = per_step_seconds(
+            lambda st, qi: fn(st[0], st[1], st[2], st[3], qi, st[4]),
+            (cache.k_codes, cache.k_scale[..., 0], cache.v_codes,
+             cache.v_scale[..., 0], bound),
+            q, iters=512,
+        )
+        bytes_r = 2 * g * s * d + 2 * g * s * 4  # codes + scales
+        detail[f"attn_{tag}_us"] = round(sec * 1e6, 1)
+        detail[f"attn_{tag}_gbps"] = round(bytes_r / sec / 1e9, 0)
 
 
 def main():
-    detail = {}
+    detail = {"budget_s": BUDGET_S}
+    skipped = []
     best, fps_fp = _bench_nin_gc(detail)
-    for section in (_bench_resnet18, _bench_train, _bench_int4, _bench_llm_decode):
+    # (section, estimated cost in seconds — dominated by compiles)
+    sections = [
+        (_bench_int4, 110),
+        (_bench_llm_decode, 70),
+        (_bench_train, 80),
+        (_bench_attn_s8k, 40),
+        (_bench_resnet18, 60),
+    ]
+    for section, est in sections:
+        name = section.__name__
+        if _remaining() < est:
+            skipped.append(name)
+            continue
+        t0 = time.time()
         try:
             section(detail)
         except Exception as e:  # keep the headline metric robust
-            detail[section.__name__ + "_error"] = repr(e)[:200]
+            detail[name + "_error"] = repr(e)[:200]
+        detail[name + "_s"] = round(time.time() - t0, 1)
 
+    detail["skipped_sections"] = skipped
+    detail["elapsed_s"] = round(time.time() - T0, 1)
     print(
         json.dumps(
             {

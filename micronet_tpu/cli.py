@@ -83,6 +83,10 @@ def _quant_config(args):
         ptq=args.ptq,
         percentile=args.percentile,
         ptq_observer=getattr(args, "ptq_observer", "percentile"),
+        first_layer_a_bits=getattr(args, "first_layer_a_bits", 0),
+        first_layer_w_bits=getattr(args, "first_layer_w_bits", 0),
+        last_layer_a_bits=getattr(args, "last_layer_a_bits", 0),
+        last_layer_w_bits=getattr(args, "last_layer_w_bits", 0),
         W=args.W,
         A=args.A,
     )
@@ -102,6 +106,13 @@ def _add_quant_flags(p: argparse.ArgumentParser):
     p.add_argument("--ptq_control", action="store_true", help="cap PTQ at 2 epochs")
     p.add_argument("--ptq_batch", type=int, default=200)
     p.add_argument("--percentile", type=float, default=0.9999)
+    # first/last-layer bit exceptions (0 = body width): the reference's
+    # skip-first (dorefa) / skip-first-and-last (wbwtab) rules as bit
+    # overrides — the documented low-bit recipe (QuantConfig docstring)
+    p.add_argument("--first_layer_a_bits", type=int, default=0)
+    p.add_argument("--first_layer_w_bits", type=int, default=0)
+    p.add_argument("--last_layer_a_bits", type=int, default=0)
+    p.add_argument("--last_layer_w_bits", type=int, default=0)
     p.add_argument(
         "--ptq_observer",
         choices=["percentile", "kl"],

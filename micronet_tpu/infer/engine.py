@@ -597,6 +597,8 @@ class IntLinear(OrderedModule):
                 self.act_scale[...],
                 self.act_zero_point[...],
                 None if self.bias is None else self.bias[...],
+                qmin=self.a_qmin,
+                qmax=self.a_qmax,
             )
         s_x = self.act_scale[...]
         zp = self.act_zero_point[...]
@@ -816,12 +818,18 @@ def freeze_int(
         if aq.bits > 8 or aq.bits == 1 or not aq.symmetric:
             return m
         if isinstance(m, qat_iao.QuantAdaptiveAvgPool2d):
-            return IntAvgPool2d(
+            pool = IntAvgPool2d(
                 None, None, None, aq.scale[...].reshape(()), m.output_size
             )
-        return IntAvgPool2d(
-            m.kernel_size, m.stride, m.padding, aq.scale[...].reshape(())
-        )
+        else:
+            pool = IntAvgPool2d(
+                m.kernel_size, m.stride, m.padding, aq.scale[...].reshape(())
+            )
+        # clip at the a_bits quant range, not int8 storage (the round-3
+        # W4A4 divergence class: sub-8-bit codes must clamp where the
+        # fake-quant model does)
+        pool.a_qmin, pool.a_qmax = aq.qmin, aq.qmax
+        return pool
 
     def _freeze_addcat(m):
         aq = m.activation_quantizer

@@ -169,7 +169,62 @@ def _copy_wb(dst, src) -> None:
 # --------------------------------------------------------------------------
 
 
-def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> None:
+def _count_quantizable_iao(module: nnx.Module, bn_fuse: bool) -> int:
+    """Number of conv/convT/linear layers :func:`_add_quant_op_iao` will
+    quantize — mirrors its walk exactly (in bn_fuse mode a Conv2d counts
+    only when the following sibling BN pairs with it)."""
+    total = 0
+    pending = False
+    for _, child, _ in _children(module):
+        if type(child) is M.Conv2d:
+            if bn_fuse:
+                pending = True
+            else:
+                total += 1
+        elif type(child) is M.BatchNorm2d and bn_fuse and pending:
+            pending = False
+            total += 1
+        elif type(child) is (M.ConvTranspose2d) or type(child) is M.Linear:
+            total += 1
+        else:
+            total += _count_quantizable_iao(child, bn_fuse)
+    return total
+
+
+def _layer_cfg(cfg: QuantConfig, idx: int, total: int) -> QuantConfig:
+    """Apply the first/last-layer bit exceptions (QuantConfig docstring;
+    the reference's skip-first/skip-last rules widened into per-position
+    bit overrides so the whole net still freezes to the int engine)."""
+    a, w = cfg.a_bits, cfg.w_bits
+    if idx == 0:
+        a = cfg.first_layer_a_bits or a
+        w = cfg.first_layer_w_bits or w
+    if idx == total - 1:
+        a = cfg.last_layer_a_bits or a
+        w = cfg.last_layer_w_bits or w
+    if (a, w) == (cfg.a_bits, cfg.w_bits):
+        return cfg
+    import dataclasses as _dc
+
+    return _dc.replace(cfg, a_bits=a, w_bits=w)
+
+
+def _add_quant_op_iao(
+    module: nnx.Module,
+    cfg: QuantConfig,
+    rngs: nnx.Rngs,
+    _ctr: Optional[list] = None,
+    _total: int = 0,
+) -> None:
+    if _ctr is None:
+        _ctr = [0]
+        _total = _count_quantizable_iao(module, cfg.bn_fuse)
+
+    def next_cfg() -> QuantConfig:
+        c = _layer_cfg(cfg, _ctr[0], _total)
+        _ctr[0] += 1
+        return c
+
     pending_conv: Optional[Tuple[M.Conv2d, Setter]] = None
     for _, child, set_child in _children(module):
         # exact-type checks: quant layers subclass the float layers, and
@@ -178,7 +233,9 @@ def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> N
             if cfg.bn_fuse:
                 pending_conv = (child, set_child)
             else:
-                q = qat_iao.QuantConv2d(cfg=cfg, rngs=rngs, **_conv_args(child))
+                q = qat_iao.QuantConv2d(
+                    cfg=next_cfg(), rngs=rngs, **_conv_args(child)
+                )
                 _copy_wb(q, child)
                 set_child(q)
         elif type(child) is M.BatchNorm2d and cfg.bn_fuse and pending_conv is not None:
@@ -187,7 +244,7 @@ def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> N
             q = qat_iao.QuantBNFuseConv2d(
                 eps=child.eps,
                 momentum=child.momentum,
-                cfg=cfg,
+                cfg=next_cfg(),
                 rngs=rngs,
                 **_conv_args(conv),
             )
@@ -199,7 +256,9 @@ def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> N
             set_conv(q)
             set_child(M.Identity())
         elif type(child) is M.ConvTranspose2d:
-            q = qat_iao.QuantConvTranspose2d(cfg=cfg, rngs=rngs, **_convt_args(child))
+            q = qat_iao.QuantConvTranspose2d(
+                cfg=next_cfg(), rngs=rngs, **_convt_args(child)
+            )
             _copy_wb(q, child)
             set_child(q)
         elif type(child) is M.Linear:
@@ -207,7 +266,7 @@ def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> N
                 child.in_features,
                 child.out_features,
                 bias=child.bias is not None,
-                cfg=cfg,
+                cfg=next_cfg(),
                 rngs=rngs,
             )
             _copy_wb(q, child)
@@ -235,7 +294,7 @@ def _add_quant_op_iao(module: nnx.Module, cfg: QuantConfig, rngs: nnx.Rngs) -> N
         elif type(child) is M.Concat:
             set_child(qat_iao.QuantConcat(child.axis, cfg=cfg))
         else:
-            _add_quant_op_iao(child, cfg, rngs)
+            _add_quant_op_iao(child, cfg, rngs, _ctr, _total)
 
 
 def prepare_iao(

@@ -42,9 +42,18 @@ __all__ = [
     "decode_attend_q8kv_xla",
     "decode_attend_q8kv_cur",
     "decode_attend_q8kv_cur_xla",
+    "decode_attend_q8kv_blocked",
+    "decode_attend_q8kv_blocked_cur",
 ]
 
 _QROWS = 8  # f32 sublane tile: the single query row rides a (8, D) block
+
+# whole-cache kernels hold both (S, D) int8 code blocks in VMEM; past
+# this S the blocks no longer fit comfortably (S=4096, D=128 -> 1 MiB
+# per buffer plus scales/accumulators) and the S-blocked grid takes over
+_MAX_RESIDENT_S = 4096
+_NEG_INF = -1e30  # finite mask value: -inf breaks the online-softmax
+#                  rescale (exp(-inf - -inf) = nan on fully masked blocks)
 
 
 def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bound_ref, out_ref):
@@ -106,6 +115,12 @@ def decode_attend_q8kv(
         or r > _QROWS
     ):
         return decode_attend_q8kv_xla(k_codes, k_scale, v_codes, v_scale, q, bound)
+    if s > _MAX_RESIDENT_S and s % 1024 == 0:
+        # long-context: stream the cache through VMEM in blocks instead
+        # of holding (S, D) resident (VERDICT r3 item 8, S=8k+)
+        return decode_attend_q8kv_blocked(
+            k_codes, k_scale, v_codes, v_scale, q, bound, block_s=1024
+        )
     q_rows = q if gqa else q[:, None, :]
     q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
     bound2 = bound.astype(jnp.int32).reshape(g)
@@ -137,6 +152,266 @@ def decode_attend_q8kv(
     return out[:, :r, :] if gqa else out[:, 0, :]
 
 
+def _kernel_blocked(
+    q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bound_ref, out_ref,
+    acc_ref, m_ref, l_ref,
+):
+    """S-blocked decode attention: the (S, D) cache streams through VMEM
+    one (BS, D) block per grid step with flash-attention online softmax
+    (running max + rescaled accumulator in VMEM scratch). Same bf16
+    precision class as :func:`_kernel`; the only numeric difference is
+    the online rescale's f32 rounding (~1e-6 relative vs one-shot).
+
+    Grid (G, S/BS): the S axis iterates innermost, so scratch carries
+    one head's state across its blocks; out is written at the last
+    block. Serving realism anchor (VERDICT r3 item 8): S=8k+ contexts
+    where the whole cache can no longer sit resident in VMEM."""
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    bs = kc_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    bound = bound_ref[g]
+    q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
+    kc = kc_ref[0]  # (BS, D) int8
+    d = q_ref.shape[-1]
+    logits = jax.lax.dot_general(
+        q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (8, BS)
+    logits = logits * ks_ref[0] * (1.0 / (d**0.5))
+    pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = pos < bound
+    logits = jnp.where(valid, logits, _NEG_INF)
+    m_new = jnp.maximum(m_ref[...], jnp.max(logits, axis=-1, keepdims=True))
+    corr = jnp.exp(m_ref[...] - m_new)  # (8, 1)
+    p = jnp.exp(logits - m_new)
+    p = jnp.where(valid, p, 0.0)
+    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)
+    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+        pv, vc_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    m_ref[...] = m_new
+
+    @pl.when(j == nb - 1)
+    def _finalize():
+        out_ref[0] = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+
+
+def decode_attend_q8kv_blocked(
+    k_codes: jax.Array,  # (G, S, D) int8
+    k_scale: jax.Array,  # (G, S) f32
+    v_codes: jax.Array,  # (G, S, D) int8
+    v_scale: jax.Array,  # (G, S) f32
+    q: jax.Array,  # (G, D) or (G, R, D) f32 (GQA, R <= 8)
+    bound: jax.Array,  # (G,) int32
+    *,
+    block_s: int = 1024,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Long-context decode attention: S streams through VMEM in
+    ``block_s`` chunks with online softmax — the S=8k+ serving shape
+    where :func:`decode_attend_q8kv`'s whole-cache-resident blocks no
+    longer fit. Same contract/returns as :func:`decode_attend_q8kv`.
+
+    ``interpret`` forces Pallas interpret mode (CPU testing of the real
+    kernel body); default: real kernel on TPU, interpret elsewhere.
+    """
+    g, s, d = k_codes.shape
+    gqa = q.ndim == 3
+    r = q.shape[1] if gqa else 1
+    assert s % block_s == 0 and d % 128 == 0 and r <= _QROWS, (
+        s, block_s, d, r
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q_rows = q if gqa else q[:, None, :]
+    q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
+    nb = s // block_s
+    out = pl.pallas_call(
+        _kernel_blocked,
+        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        grid=(g, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _QROWS, d), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_s, d), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_s), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_s, d), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_s), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) bound
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _QROWS, d), lambda i, j: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_QROWS, d), jnp.float32),  # acc
+            pltpu.VMEM((_QROWS, 1), jnp.float32),  # running max
+            pltpu.VMEM((_QROWS, 1), jnp.float32),  # running denom
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * s * d * 2,
+            bytes_accessed=2 * g * s * d + 2 * g * s * 4 + g * d * 8,
+            transcendentals=g * s,
+        ),
+        interpret=interpret,
+    )(
+        q8, k_codes, k_scale.reshape(g, 1, s), v_codes,
+        v_scale.reshape(g, 1, s), bound.astype(jnp.int32).reshape(g),
+    )
+    return out[:, :r, :] if gqa else out[:, 0, :]
+
+
+def _kernel_blocked_cur(
+    q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+    kcur_ref, kscur_ref, vcur_ref, vscur_ref, bound_ref, out_ref,
+    acc_ref, m_ref, l_ref,
+):
+    """S-blocked deferred-append kernel: :func:`_kernel_blocked`'s online
+    softmax over the cache blocks, plus the current token's quantized
+    K/V row folded in at the LAST block (same bf16 precision class as
+    :func:`_kernel_cur`). The decode_batch serving path at S=8k+."""
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    bs = kc_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    bound = bound_ref[g]
+    q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
+    d = q_ref.shape[-1]
+    inv = 1.0 / (d**0.5)
+    logits = jax.lax.dot_general(
+        q, kc_ref[0].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    logits = logits * ks_ref[0] * inv
+    pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = pos < bound
+    logits = jnp.where(valid, logits, _NEG_INF)
+    m_new = jnp.maximum(m_ref[...], jnp.max(logits, axis=-1, keepdims=True))
+    corr = jnp.exp(m_ref[...] - m_new)
+    p = jnp.exp(logits - m_new)
+    p = jnp.where(valid, p, 0.0)
+    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)
+    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+        pv, vc_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    m_ref[...] = m_new
+
+    @pl.when(j == nb - 1)
+    def _finalize():
+        lcur = jax.lax.dot_general(
+            q, kcur_ref[0].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (8, 1)
+        lcur = lcur * kscur_ref[g] * inv
+        m_fin = jnp.maximum(m_ref[...], lcur)
+        corr_f = jnp.exp(m_ref[...] - m_fin)
+        pcur = jnp.exp(lcur - m_fin)
+        denom = l_ref[...] * corr_f + pcur
+        pvcur = (pcur * vscur_ref[g]).astype(jnp.bfloat16)
+        acc = acc_ref[...] * corr_f + jax.lax.dot_general(
+            pvcur, vcur_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        out_ref[0] = acc / jnp.maximum(denom, 1e-30)
+
+
+def decode_attend_q8kv_blocked_cur(
+    k_codes, k_scale, v_codes, v_scale, q, bound,
+    k_cur, k_cur_scale, v_cur, v_cur_scale,
+    *,
+    block_s: int = 1024,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Long-context deferred-append decode attention (the decode_batch
+    serving path at S=8k+): same contract as
+    :func:`decode_attend_q8kv_cur`, cache streamed in ``block_s`` chunks."""
+    g, s, d = k_codes.shape
+    gqa = q.ndim == 3
+    r = q.shape[1] if gqa else 1
+    assert s % block_s == 0 and d % 128 == 0 and r <= _QROWS
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q_rows = q if gqa else q[:, None, :]
+    q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
+    nb = s // block_s
+    out = pl.pallas_call(
+        _kernel_blocked_cur,
+        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        grid=(g, nb),
+        in_specs=[
+            pl.BlockSpec((1, _QROWS, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_s, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_s, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) k_cur_scale
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) v_cur_scale
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) bound
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _QROWS, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_QROWS, d), jnp.float32),
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * (s + 1) * d * 2,
+            bytes_accessed=2 * g * s * d + 2 * g * s * 4 + g * d * 10,
+            transcendentals=g * (s + 1),
+        ),
+        interpret=interpret,
+    )(
+        q8, k_codes, k_scale.reshape(g, 1, s), v_codes,
+        v_scale.reshape(g, 1, s), k_cur.reshape(g, 1, d),
+        k_cur_scale.astype(jnp.float32), v_cur.reshape(g, 1, d),
+        v_cur_scale.astype(jnp.float32), bound.astype(jnp.int32).reshape(g),
+    )
+    return out[:, :r, :] if gqa else out[:, 0, :]
+
+
 def _kernel_cur(
     q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
     kcur_ref, kscur_ref, vcur_ref, vscur_ref, bound_ref, out_ref,
@@ -153,7 +428,10 @@ def _kernel_cur(
     ~free; the kernel attends over cache[<bound] + the current row.
     Numerics match append-then-attend: the current row enters as int8
     codes (exact in bf16) with its f32 scale folded after the dot, the
-    same precision class as the cached columns."""
+    same precision class as the cached columns: the probability*scale
+    factor bf16-rounds BEFORE the dot exactly like the cached columns'
+    ``(p * vs).astype(bf16)`` operand (an f32 current column diverged
+    ~1e-3 from append-then-attend — round-3 red tests)."""
     g = pl.program_id(0)
     bound = bound_ref[g]
     q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
@@ -187,8 +465,16 @@ def _kernel_cur(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )  # (8, D)
-    vcur = vcur_ref[0].astype(jnp.float32) * vscur_ref[g]  # (1, D)
-    acc = acc + pcur * vcur
+    # current column rides the SAME precision class as the cached ones:
+    # bf16-round (p * v_scale), then multiply the exact-in-bf16 codes
+    # with f32 accumulation (bf16*bf16 is exact in f32: 8+8 < 24
+    # mantissa bits) — bit-matches the appended column's MXU product
+    pvcur = (pcur * vscur_ref[g]).astype(jnp.bfloat16)  # (8, 1)
+    acc = acc + jax.lax.dot_general(
+        pvcur, vcur_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     out_ref[0] = acc / jnp.maximum(denom, 1e-30)
 
 
@@ -216,6 +502,11 @@ def decode_attend_q8kv_cur(
         return decode_attend_q8kv_cur_xla(
             k_codes, k_scale, v_codes, v_scale, q, bound,
             k_cur, k_cur_scale, v_cur, v_cur_scale,
+        )
+    if s > _MAX_RESIDENT_S and s % 1024 == 0:
+        return decode_attend_q8kv_blocked_cur(
+            k_codes, k_scale, v_codes, v_scale, q, bound,
+            k_cur, k_cur_scale, v_cur, v_cur_scale, block_s=1024,
         )
     q_rows = q if gqa else q[:, None, :]
     q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
@@ -286,8 +577,12 @@ def decode_attend_q8kv_cur_xla(
         "grs,gsd->grd", pv, v_codes.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    vcur = v_cur.astype(jnp.float32) * v_cur_scale[:, None]  # (G, D)
-    acc = acc + pcur * vcur[:, None, :]
+    # same precision class as the cached columns (see _kernel_cur):
+    # bf16-round p*scale, exact bf16 codes, f32 accumulate
+    pvcur = (pcur * v_cur_scale[:, None, None]).astype(jnp.bfloat16)
+    acc = acc + pvcur.astype(jnp.float32) * v_cur.astype(
+        jnp.float32
+    )[:, None, :]
     out = acc / jnp.maximum(denom, 1e-30)
     return out if gqa else out[:, 0, :]
 

@@ -85,14 +85,16 @@ def int8_matmul_dequant_xla(
     return acc.astype(jnp.float32) * (x_scale * w_scale)[None, :]
 
 
-def _kernel(x_ref, wq_ref, wscale_ref, xs_ref, xzp_ref, out_ref):
+def _kernel(x_ref, wq_ref, wscale_ref, xs_ref, xzp_ref, out_ref, *, qmin, qmax):
     """One (bm, bn) output tile; full-K stripes resident in VMEM."""
     s_x = xs_ref[0, 0]
     zp_x = xzp_ref[0, 0]
     x = x_ref[:].astype(jnp.float32)
     xs = x / s_x
     q = jnp.sign(xs) * jnp.floor(jnp.abs(xs) + 0.5) - zp_x
-    x_q = jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
+    # clip to the ACTIVATION quant range (a_bits-dependent: ±8-ish at A4,
+    # not the int8 storage range — the round-3 W4A4 engine divergence)
+    x_q = jnp.clip(q, qmin, qmax).astype(jnp.int8)
     w_q = wq_ref[:]
     acc = jax.lax.dot_general(
         x_q,
@@ -106,7 +108,7 @@ def _kernel(x_ref, wq_ref, wscale_ref, xs_ref, xzp_ref, out_ref):
     out_ref[:] = acc.astype(jnp.float32) * (s_x * wscale_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn"))
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "qmin", "qmax"))
 def int8_matmul_dequant(
     x: jax.Array,
     w_q: jax.Array,
@@ -116,13 +118,17 @@ def int8_matmul_dequant(
     *,
     bm: int = 256,
     bn: int = 256,
+    qmin: float = -128.0,
+    qmax: float = 127.0,
 ) -> jax.Array:
     """Fused quantize+int8-matmul+dequant Pallas kernel.
 
     x: (M, K) float32/bf16; w_q: (K, N) int8; w_scale: (N,) f32;
     x_scale/x_zero_point: scalar f32 (per-tensor activation quant, the
-    reference's "L" level). M, N, K need not be tile-aligned — inputs are
-    zero-padded to tiles here (zeros quantize to zp and are sliced off).
+    reference's "L" level). ``qmin``/``qmax`` are the ACTIVATION quant
+    range (narrower than int8 storage for a_bits < 8). M, N, K need not
+    be tile-aligned — inputs are zero-padded to tiles here (zeros
+    quantize to zp and are sliced off).
     """
     m, k = x.shape
     k2, n = w_q.shape
@@ -147,7 +153,7 @@ def int8_matmul_dequant(
     # interpret mode off-TPU so kernel numerics are testable on the CPU mesh
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, qmin=float(qmin), qmax=float(qmax)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -257,17 +263,28 @@ def int8_linear(
     x_scale: jax.Array,
     x_zero_point: jax.Array,
     bias: Optional[jax.Array] = None,
+    qmin: float = -128.0,
+    qmax: float = 127.0,
 ) -> jax.Array:
     """Backend-dispatched int8 linear: Pallas on TPU, XLA elsewhere.
 
+    ``qmin``/``qmax``: the activation quant range (a_bits-dependent —
+    pass the quantizer's own bounds, NOT the int8 storage range, or
+    sub-8-bit activations stop clipping where fake-quant does).
     Accepts any leading batch dims on ``x`` (flattened to M)."""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     if jax.default_backend() == "tpu":
-        out = int8_matmul_dequant(x2, w_q, w_scale, x_scale, x_zero_point)
+        out = int8_matmul_dequant(
+            x2, w_q, w_scale, x_scale, x_zero_point,
+            qmin=float(qmin), qmax=float(qmax),
+        )
     else:
-        out = int8_matmul_dequant_xla(x2, w_q, w_scale, x_scale, x_zero_point)
+        out = int8_matmul_dequant_xla(
+            x2, w_q, w_scale, x_scale, x_zero_point,
+            qmin=float(qmin), qmax=float(qmax),
+        )
     if bias is not None:
         out = out + bias
     return out.reshape(*lead, w_q.shape[1])

@@ -75,6 +75,18 @@ class QuantConfig:
 
     a_bits: int = 8
     w_bits: int = 8
+    # Per-position bit exceptions for the FIRST and LAST quantizable
+    # conv/linear in the model (0 = no override). The reference encodes
+    # the same insight as hard skips — DoReFa never quantizes the first
+    # layer (dorefa/quantize.py:205), wbwtab skips first AND last
+    # (wbwtab/quantize.py:319-322) — because the input stem and the
+    # classifier are the accuracy-critical extremes at low bits. Here
+    # they stay quantized but at a wider width (e.g. 8 while the body
+    # runs W4A4), which keeps the whole net on the int engine.
+    first_layer_a_bits: int = 0
+    first_layer_w_bits: int = 0
+    last_layer_a_bits: int = 0
+    last_layer_w_bits: int = 0
     q_type: int = 0
     q_level: int = 0
     weight_observer: int = 0

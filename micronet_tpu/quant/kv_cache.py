@@ -129,17 +129,25 @@ def append_kv_batch_quantized(
     ms/slot at the Llama-8B shape). Here the attention kernel reads the
     PRE-append cache plus the current row as a separate operand
     (ops/decode_attention.decode_attend_q8kv_cur), so this scatter's
-    output is only carried to the next step — XLA aliases it in place."""
+    output is only carried to the next step — XLA aliases it in place.
+
+    Overflow: a slot whose fill pointer has reached ``S`` clamps its
+    write to the last row (matching :func:`append_kv`'s
+    dynamic_update_slice clamp — NOT an out-of-bounds scatter, which
+    with unique/sorted asserted would be formally undefined) and its
+    length saturates at ``S``. ServeLoop additionally force-finishes
+    slots at max_seq so this is a backstop, not a steady state."""
     b = k_codes.shape[0]
+    s = cache.k_codes.shape[2]
     rows = jnp.arange(b)
-    i = cache.length
+    i = jnp.minimum(cache.length, s - 1)
     kw = dict(unique_indices=True, indices_are_sorted=True)
     return QuantKVCache(
         k_codes=cache.k_codes.at[rows, :, i, :].set(k_codes, **kw),
         k_scale=cache.k_scale.at[rows, :, i, 0].set(k_scale, **kw),
         v_codes=cache.v_codes.at[rows, :, i, :].set(v_codes, **kw),
         v_scale=cache.v_scale.at[rows, :, i, 0].set(v_scale, **kw),
-        length=i + 1,
+        length=jnp.minimum(cache.length + 1, s),
     )
 
 

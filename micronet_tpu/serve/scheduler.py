@@ -86,6 +86,13 @@ class ServeLoop:
         self.seed_keys = jax.vmap(jax.random.PRNGKey)(
             jnp.zeros((max_slots,), jnp.uint32)
         )
+        # cache capacity: a slot at offset >= max_seq cannot append
+        # another KV row, so its request is force-finished (truncated)
+        # rather than clamp-overwriting the last cache position
+        try:
+            self.max_seq = int(model.init_cache()[0].max_seq)
+        except Exception:
+            self.max_seq = None
 
     # -- request lifecycle --------------------------------------------------
 
@@ -131,7 +138,11 @@ class ServeLoop:
         if req is None:
             return
         hit_eos = req.eos is not None and req.output and req.output[-1] == req.eos
-        if len(req.output) >= req.max_new_tokens or hit_eos:
+        full = (
+            self.max_seq is not None
+            and int(self.offsets[slot]) >= self.max_seq
+        )
+        if len(req.output) >= req.max_new_tokens or hit_eos or full:
             req.done = True
             self.finished[req.rid] = req
             self.slot_req[slot] = None  # slot recycles at next admission

@@ -4,7 +4,7 @@ pytree checkpoints (reference drivers, SURVEY.md §2.6)."""
 from . import checkpoint, data, loop
 from .checkpoint import load_state, save_state, save_state_async, wait_for_saves
 from .data import Cifar10, augment_batch, load_cifar10, normalize_batch
-from .loop import TrainConfig, Trainer, lr_at_epoch
+from .loop import TrainConfig, Trainer, lr_at_epoch, scaled_milestones
 
 __all__ = [
     "checkpoint",
@@ -21,4 +21,5 @@ __all__ = [
     "TrainConfig",
     "Trainer",
     "lr_at_epoch",
+    "scaled_milestones",
 ]

@@ -11,6 +11,7 @@ asymmetric quant, conv/bn-fuse/linear/transpose alike.
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -162,6 +163,7 @@ def test_auto_resolves_off_on_cpu():
 # ---- DoReFa code-storage lowering ----
 
 
+@pytest.mark.slow
 def test_dorefa_codes_layers():
     """DoReFa conv/linear/convtranspose: codes path == standard path
     (values + gradients) with CPU's f32 code dtype."""

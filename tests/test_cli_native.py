@@ -11,6 +11,7 @@ import pytest
 from flax import nnx
 
 
+@pytest.mark.slow
 def test_quant_test_manual_and_auto(capsys):
     import micronet_tpu
 
@@ -63,6 +64,7 @@ def test_cli_gc_prune_prints_cfg(capsys):
     assert "cfg: [" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_data_parallel_observer_consistency():
     """DP on the 8-device CPU mesh: batch sharded on 'data'; global-mean
     BN stats and global-min/max observers must equal the single-device
@@ -156,6 +158,7 @@ def test_shard_map_dp_step():
     assert float(fq.scale[...][0]) > 0
 
 
+@pytest.mark.slow
 def test_cli_bn_fuse_dump(tmp_path):
     """bn-fuse --dump writes the .txt module-tree/parameter dump and the
     JSON summary with quant scales inlined (reference bn_fuse.py:155-200)."""

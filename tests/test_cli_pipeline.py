@@ -10,6 +10,8 @@ channel widths ride the {cfg, state} checkpoint headers so no stage
 needs --cfg re-typed.
 """
 
+import pytest
+
 import numpy as np
 from flax import nnx
 
@@ -20,6 +22,7 @@ from micronet_tpu.quant.config import QuantConfig
 from micronet_tpu.train import checkpoint
 
 
+@pytest.mark.slow
 def test_cli_prune_quant_qaft_fuse_engine(tmp_path):
     common = ["--model_type", "0", "--epochs", "1", "--train_batch_size", "128"]
     float_ckpt = str(tmp_path / "float.npz")
@@ -99,6 +102,7 @@ def test_cli_prune_quant_qaft_fuse_engine(tmp_path):
     assert np.array_equal(np.argmax(y_train, -1), np.argmax(y_int, -1))
 
 
+@pytest.mark.slow
 def test_cli_kl_ptq_then_deploy(tmp_path):
     """float train -> KL-entropy PTQ (--ptq_observer kl --calib_cache) ->
     deploy (serialized StableHLO artifact) — the reference's TRT leg

@@ -163,3 +163,95 @@ def test_attend_t1_zero_length_is_finite():
     cache = init_kv_cache(h, s, d)
     out = attend(cache, _rand(1, (h, 1, d)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_blocked_kernel_matches_oracle_s8192():
+    """The S-blocked online-softmax kernel (long-context serving path,
+    S=8k) against the XLA oracle — the REAL kernel body in interpret
+    mode, ragged per-head fill levels crossing block boundaries."""
+    import pytest
+
+    from micronet_tpu.ops.decode_attention import decode_attend_q8kv_blocked
+
+    g, s, d = 2, 8192, 128
+    fill = 6000
+    cache = append_kv(
+        init_kv_cache(g, s, d), _rand(1, (g, fill, d)), _rand(2, (g, fill, d))
+    )
+    q = _rand(3, (g, d))
+    # ragged bounds: one mid-block, one block-aligned
+    bound = jnp.asarray([5555, 4096], jnp.int32)
+    out = decode_attend_q8kv_blocked(
+        cache.k_codes, cache.k_scale.reshape(g, s), cache.v_codes,
+        cache.v_scale.reshape(g, s), q, bound, block_s=1024, interpret=True,
+    )
+    ref = decode_attend_q8kv_xla(
+        cache.k_codes, cache.k_scale.reshape(g, s), cache.v_codes,
+        cache.v_scale.reshape(g, s), q, bound,
+    )
+    # measured bound: the online-softmax rescale rounds (p * vs) to bf16
+    # at block-local normalization, so blocked vs one-shot differ by
+    # a few e-4 abs (well under the ~1% the int8 KV quantization itself
+    # introduces vs f32 attention)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-3
+    )
+
+
+def test_blocked_kernel_gqa_and_empty_head():
+    """GQA query rows + a zero-fill head (whole cache masked): the online
+    softmax must stay finite and match the oracle."""
+    from micronet_tpu.ops.decode_attention import decode_attend_q8kv_blocked
+
+    g, r, s, d = 2, 4, 2048, 128
+    cache = append_kv(
+        init_kv_cache(g, s, d), _rand(4, (g, 1500, d)), _rand(5, (g, 1500, d))
+    )
+    q = _rand(6, (g, r, d))
+    bound = jnp.asarray([1500, 0], jnp.int32)  # head 1: nothing visible
+    out = decode_attend_q8kv_blocked(
+        cache.k_codes, cache.k_scale.reshape(g, s), cache.v_codes,
+        cache.v_scale.reshape(g, s), q, bound, block_s=512, interpret=True,
+    )
+    assert out.shape == (g, r, d)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = decode_attend_q8kv_xla(
+        cache.k_codes, cache.k_scale.reshape(g, s), cache.v_codes,
+        cache.v_scale.reshape(g, s), q, bound,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), rtol=0, atol=1e-3
+    )
+    # fully-masked head: oracle divides 0/denom-floor -> zeros; kernel same
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0, atol=1e-6)
+
+
+def test_blocked_cur_kernel_matches_cur_oracle():
+    """The S-blocked deferred-append kernel (decode_batch at S=8k)
+    against the whole-cache cur oracle."""
+    from micronet_tpu.ops.decode_attention import (
+        decode_attend_q8kv_blocked_cur,
+        decode_attend_q8kv_cur_xla,
+    )
+    from micronet_tpu.quant.kv_cache import quantize_kv_rows
+
+    g, s, d = 2, 4096, 128
+    fill = 3000
+    cache = append_kv(
+        init_kv_cache(g, s, d), _rand(1, (g, fill, d)), _rand(2, (g, fill, d))
+    )
+    q = _rand(3, (g, 4, d))  # GQA rows
+    kcur, kcs = quantize_kv_rows(_rand(7, (g, d)))
+    vcur, vcs = quantize_kv_rows(_rand(8, (g, d)))
+    bound = jnp.asarray([3000, 1537], jnp.int32)
+    args = (
+        cache.k_codes, cache.k_scale.reshape(g, s), cache.v_codes,
+        cache.v_scale.reshape(g, s), q, bound,
+        kcur, kcs[:, 0], vcur, vcs[:, 0],
+    )
+    out = decode_attend_q8kv_blocked_cur(*args, block_s=512, interpret=True)
+    ref = decode_attend_q8kv_cur_xla(*args)
+    # same measured bound as the blocked-vs-one-shot comparison above
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-3
+    )

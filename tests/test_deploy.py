@@ -3,6 +3,7 @@
 engine serialize/deserialize)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -38,6 +39,7 @@ def test_profile_buckets_ladder():
     assert profile_buckets(3, 10) == (3, 6, 10)
 
 
+@pytest.mark.slow
 def test_compiled_engine_matches_eager_across_batches():
     engine = _frozen_engine()
     eval_mode(engine)
@@ -84,6 +86,7 @@ def test_compiled_engine_flops_reported():
     assert set(fl) == {2}
 
 
+@pytest.mark.slow
 def test_sharded_serving_matches_single_device():
     """Mesh-sharded serving (net-new vs TRT): a dp=4 x tp=2 mesh engine
     reproduces the single-device engine across bucket-padded and chunked

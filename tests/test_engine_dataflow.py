@@ -8,6 +8,7 @@ and the 1x1 dot_general lowering is bit-identical to the conv lowering.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -99,6 +100,7 @@ def test_no_example_input_disables_chaining_on_branching_graphs():
     np.testing.assert_allclose(np.asarray(eng(x)), np.asarray(q(x)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pointwise_dot_bit_identical_to_conv_lowering():
     cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
     from micronet_tpu.models import nin_gc

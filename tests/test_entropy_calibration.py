@@ -6,6 +6,8 @@ union-scale resolution for QuantAdd graphs, and the calibration cache
 read/write roundtrip (reference deploy/tensorrt/calibrator.py:20-58).
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -99,6 +101,7 @@ def _bn_converged_resnet():
     return fm
 
 
+@pytest.mark.slow
 def test_ptq_kl_end_to_end_resnet(tmp_path):
     """KL PTQ on ResNet18 (QuantAdd graphs): stream -> finalize -> eval.
 
@@ -172,6 +175,7 @@ def test_kl_beats_minmax_on_heavy_tails():
     assert quant_kl(thr) < quant_kl(absmax)
 
 
+@pytest.mark.slow
 def test_ptq_kl_vs_percentile_same_ballpark():
     """KL and percentile calibration land in the same scale regime on
     well-behaved activations (both approximate the distribution's range)."""
@@ -283,6 +287,7 @@ def test_entropy_calibration_sharded_batch_gspmd():
     assert t1 == t2
 
 
+@pytest.mark.slow
 def test_calib_cache_refreshes_with_streamed_stats(tmp_path):
     """A cache short-circuits only a FRESH build; a model with streamed
     histograms recomputes and overwrites (multi-epoch PTQ must not freeze
@@ -308,6 +313,7 @@ def test_calib_cache_refreshes_with_streamed_stats(tmp_path):
     assert t3 == t2
 
 
+@pytest.mark.slow
 def test_shard_map_entropy_grid_rescale():
     """Explicit-collective DP with KL observers: a shard-local outlier
     widens the merged grid; other shards' counts must be RESCALED onto it,

@@ -5,6 +5,8 @@ Net-new vs the reference (SURVEY.md §5 marks the LLM path as the
 stretch capability); oracles are internal-consistency + float-vs-W4
 parity, same strategy as tests/test_llm_serving.py."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,6 +68,7 @@ def test_rope_attention_depends_on_relative_position_only():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_prefill_equals_incremental_decode():
     """Full prefill vs prefill+decode produce the same final logits —
     validates RoPE offsets, GQA cache append, and causal masking."""
@@ -127,6 +130,7 @@ def test_forward_jits_as_one_program():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_w4_llama_tracks_float():
     mf = _tiny()
     mq = quantize_llama(_tiny(), group=16)
@@ -158,6 +162,7 @@ def test_w4_storage_shrinks():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_serve_loop_over_w4_llama_matches_isolated():
     from micronet_tpu.serve import Request, ServeLoop
 
@@ -223,6 +228,7 @@ def test_decode_batch_matches_per_request():
     assert [int(l) for l in np.asarray(cb[0].length)] == [o + 1 for o in offs]
 
 
+@pytest.mark.slow
 def test_decode_batch_matches_forward_batch():
     """Fast path vs the vmap reference on identical batched state."""
     model = quantize_llama(_tiny(max_seq=16), group=16)
@@ -240,6 +246,7 @@ def test_decode_batch_matches_forward_batch():
         )
 
 
+@pytest.mark.slow
 def test_llama_tp_sharded_matches_single_device():
     """Channel-shard the W4 llama over an 8-way 'model' mesh: packed
     nibbles/group scales shard on their output axis, GSPMD inserts the

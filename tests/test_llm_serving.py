@@ -2,6 +2,7 @@
 reference — SURVEY.md §5 stretch path)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -209,6 +210,7 @@ def test_decoder_tp_sharded_matches_single_device():
     assert np.isfinite(np.asarray(y2)).all()
 
 
+@pytest.mark.slow
 def test_batched_decode_matches_per_request():
     """forward_batch (vmap over requests, shared weights, per-request
     caches + offsets) reproduces the per-request loop — the
@@ -241,6 +243,7 @@ def test_batched_decode_matches_per_request():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_sp_prefill_matches_dense_forward():
     """Sequence-parallel prefill (ring attention over a 4-device 'seq'
     axis) produces the same logits and the same int8 caches as the dense
@@ -276,6 +279,7 @@ def test_sp_prefill_matches_dense_forward():
     np.testing.assert_allclose(np.asarray(ls), np.asarray(ld), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_prefill_quantized_decoder():
     """Same parity on the W4-quantized serving decoder."""
     from jax.sharding import Mesh
@@ -294,6 +298,7 @@ def test_sp_prefill_quantized_decoder():
     )
 
 
+@pytest.mark.slow
 def test_ep_moe_decoder_matches_dense():
     """MoE decoder served expert-parallel (experts sharded over a 4-device
     'expert' axis via use_ep) produces the same prefill logits and greedy

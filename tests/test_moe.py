@@ -5,6 +5,7 @@ single-device forward is the oracle; the EP shard_map path over an
 and int8 weight-only experts alike."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -30,6 +31,7 @@ def _setup(seed=0):
     return params, x
 
 
+@pytest.mark.slow
 def test_ep_matches_dense_forward():
     params, x = _setup()
     y_dense = moe_apply(params, x, capacity_factor=2.0)
@@ -37,6 +39,7 @@ def test_ep_matches_dense_forward():
     np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ep_matches_dense_with_fewer_devices_than_experts():
     params, x = _setup(1)
     y_dense = moe_apply(params, x, capacity_factor=2.0)
@@ -44,6 +47,7 @@ def test_ep_matches_dense_with_fewer_devices_than_experts():
     np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ep_gradients_match_dense():
     params, x = _setup(2)
     mesh = _mesh()
@@ -77,6 +81,7 @@ def test_capacity_drops_overflow_tokens():
     assert nonzero_rows[0]  # cumsum order: the first token takes the slot
 
 
+@pytest.mark.slow
 def test_quantized_ep_matches_quantized_dense():
     params, x = _setup(4)
     qp = quantize_moe(params)
@@ -103,6 +108,7 @@ def test_load_balance_loss_bounds():
     assert lc > 0.9 * E, lc
 
 
+@pytest.mark.slow
 def test_moe_trains_dense_and_ep_identically():
     """A few SGD steps through dense and EP losses keep parameters in
     lockstep — EP is a scheduling change, not a semantics change."""
@@ -255,6 +261,7 @@ def _sharded_oracle(params, x, ep, cf, top_k):
     )
 
 
+@pytest.mark.slow
 def test_ep_a2a_matches_sharded_dense_top1_and_top2():
     from micronet_tpu.parallel.moe import moe_apply_ep_a2a
 
@@ -269,6 +276,7 @@ def test_ep_a2a_matches_sharded_dense_top1_and_top2():
         )
 
 
+@pytest.mark.slow
 def test_ep_a2a_quantized_experts():
     from micronet_tpu.parallel.moe import moe_apply_ep_a2a
 
@@ -279,6 +287,7 @@ def test_ep_a2a_quantized_experts():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ep_a2a_gradients_match_sharded_dense():
     from micronet_tpu.parallel.moe import moe_apply_ep_a2a
 

@@ -1,3 +1,4 @@
+import pytest
 """Two-process DCN-path test (VERDICT r1 item 6).
 
 Spawns two real OS processes, each with 4 virtual CPU devices, joined via
@@ -29,6 +30,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_dp_qat(tmp_path):
     port = _free_port()
     env = dict(os.environ)

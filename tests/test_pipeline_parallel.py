@@ -3,6 +3,7 @@ the reference, completing dp/tp/pp. Verified against the sequential
 fold on an 8-device CPU mesh: values AND gradients."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -100,6 +101,7 @@ def test_pipeline_trains():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pipeline_stateful_quantized_stages_match_sequential():
     """4 IAO bn-fused quant stages (observers + BN stats riding the scan
     carry) through the pipeline == the sequential fold: outputs, final

@@ -6,6 +6,7 @@ finetune -> BN-fuse -> int engine; and sparse-train -> prune -> finetune
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -36,6 +37,7 @@ def _steps(model, n, lr=1e-3, bn_hook=None):
     return float(loss)
 
 
+@pytest.mark.slow
 def test_ptq_then_qaft_then_engine(tmp_path):
     # 1) float training
     fp = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
@@ -92,6 +94,7 @@ def test_ptq_then_qaft_then_engine(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_sparse_prune_finetune_quantize(tmp_path):
     # sparse train with BN-L1
     fp = nin.Net(cfg=[12] * 8, rngs=nnx.Rngs(0))

@@ -3,6 +3,7 @@ prepare -> train-steps -> fuse -> int engine (SURVEY.md §3.5 applied to
 the quant-ResNet demo, reference README.md:149)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -15,6 +16,7 @@ from micronet_tpu.nn import prepare, qat_iao
 from micronet_tpu.quant.config import QuantConfig
 
 
+@pytest.mark.slow
 def test_resnet_qat_fuse_freeze():
     cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
     model = resnet18(rngs=nnx.Rngs(0))
@@ -52,6 +54,7 @@ def test_resnet_qat_fuse_freeze():
     )
 
 
+@pytest.mark.slow
 def test_resnet50_bottleneck_quant_pipeline():
     """BottleNeck-family coverage (resnet50): prepare pairs all 1x1/3x3
     convs with their BNs, QAT runs, fuse + freeze keep prediction

@@ -23,6 +23,7 @@ def _qkv(seed):
 
 
 @pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.slow
 def test_ring_matches_dense(causal):
     q, k, v = _qkv(0)
     y_ring = ring_attention(q, k, v, _mesh(), causal=causal)
@@ -30,6 +31,7 @@ def test_ring_matches_dense(causal):
     np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_matches_dense_fewer_devices():
     q, k, v = _qkv(1)
     y_ring = ring_attention(q, k, v, _mesh(4), causal=True)
@@ -37,6 +39,7 @@ def test_ring_matches_dense_fewer_devices():
     np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_gradients_match_dense():
     q, k, v = _qkv(2)
     mesh = _mesh()
@@ -66,6 +69,7 @@ def test_ring_jits_as_one_program():
     )
 
 
+@pytest.mark.slow
 def test_zigzag_matches_contiguous_and_dense():
     """The balanced (zigzag) causal schedule == the contiguous schedule ==
     the dense oracle, values and gradients, including odd device counts

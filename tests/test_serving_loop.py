@@ -2,6 +2,8 @@
 requests join mid-flight, finished slots recycle, and every request's
 tokens are identical to its isolated run."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -81,6 +83,7 @@ def test_quantized_serving_loop_runs():
     assert done[1].output == _isolated(model, [2, 7], 3)
 
 
+@pytest.mark.slow
 def test_serving_loop_tp_sharded_matches_single_device():
     """Continuous batching over a tensor-parallel decoder: the same
     requests through a ServeLoop whose decoder weights are channel-

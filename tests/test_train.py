@@ -4,6 +4,7 @@ values, checkpoint round-trip, one tiny end-to-end fit."""
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -147,6 +148,7 @@ def test_async_checkpoint_and_auto_resume(tmp_path):
     assert step == 0 and abs(best2 - best) < 1e-9
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch_gradients():
     """grad_accum=4: the averaged microbatch gradient step tracks the
     full-batch step (identical loss gradient; observer updates differ only
