@@ -46,13 +46,19 @@ def lr_at_epoch(base_lr: float, epoch: int, milestones=MILESTONES) -> float:
 
 
 def scaled_milestones(epochs: int, reference_epochs: int = 300):
-    """The reference's milestone schedule scaled to a smaller epoch
-    budget: milestones keep their FRACTIONAL positions (80/300 etc.), so
-    a 20-epoch table run decays at the same relative points a 300-epoch
-    reference run does (VERDICT r3 item 4 — the flat-LR 20-epoch recipe
-    understates low-bit accuracy)."""
+    """The reference's milestone schedule adapted to a smaller epoch
+    budget (VERDICT r3 item 4 — the flat-LR 20-epoch recipe understates
+    low-bit accuracy, but naively scaling all FIVE x0.1 decays into 20
+    epochs kills the LR by epoch 12 and costs ~4% even at fp32 —
+    measured). Budgets >= reference keep the reference epochs verbatim;
+    short budgets get the standard two-step recipe at 60% and 85% of the
+    budget (most of training at base LR, one refinement decay, one
+    polish decay — the closest short-run analog of the reference's
+    tail-heavy schedule)."""
+    if epochs >= reference_epochs:
+        return MILESTONES
     return tuple(
-        max(1, round(m * epochs / reference_epochs)) for m in MILESTONES
+        sorted({max(1, round(0.60 * epochs)), max(2, round(0.85 * epochs))})
     )
 
 
@@ -248,12 +254,18 @@ class Trainer:
                     self._to_device(xb),
                     self._to_device(yb),
                 )
-            losses.append(float(loss))
-            if i % cfg.log_every == 0:
+            # keep the loss ON DEVICE: a float() here is a host sync per
+            # step, which serializes the whole epoch against the device
+            # round-trip latency (fatal on a tunneled chip — measured
+            # ~0.4 s/sync; async dispatch pipelines the epoch otherwise)
+            losses.append(loss)
+            if i % cfg.log_every == 0 and cfg.log_every <= 1000:
                 log(
                     f"epoch {epoch} batch {i}: loss {float(loss):.4f} "
                     f"acc {float(acc):.4f} lr {lr:.2e}"
                 )
+        if losses:
+            losses = [float(x) for x in np.asarray(jnp.stack(losses))]
         dt = time.time() - t0
         n_img = len(losses) * cfg.batch_size
         log(f"epoch {epoch} done in {dt:.1f}s ({n_img / max(dt, 1e-9):.1f} img/s)")
@@ -300,10 +312,12 @@ class Trainer:
             loss, correct = self._eval_step(
                 self.model, self._to_device(xb), self._to_device(yb)
             )
-            total_loss += float(loss)
-            total_correct += int(correct)
+            # device-side accumulation: per-batch float()/int() would sync
+            # once per batch (see train_epoch — tunneled-chip latency)
+            total_loss = total_loss + loss
+            total_correct = total_correct + correct
             n += len(yb)
-        return total_loss / max(n, 1), total_correct / max(n, 1)
+        return float(total_loss) / max(n, 1), int(total_correct) / max(n, 1)
 
     def fit(
         self,
