@@ -133,15 +133,18 @@ class ServeLoop:
         self.slot_req[slot] = req
         self._maybe_finish(slot)
 
-    def _maybe_finish(self, slot: int) -> None:
+    def _maybe_finish(self, slot: int, offset: Optional[int] = None) -> None:
         req = self.slot_req[slot]
         if req is None:
             return
         hit_eos = req.eos is not None and req.output and req.output[-1] == req.eos
-        full = (
-            self.max_seq is not None
-            and int(self.offsets[slot]) >= self.max_seq
-        )
+        # capacity guard: a slot at offset >= max_seq cannot append
+        # another KV row — finish (truncate) it. ``offset`` is the
+        # host-side value when the caller already fetched the batch
+        # (one device_get per STEP, not per slot — tunnel latency)
+        if offset is None:
+            offset = int(self.offsets[slot])
+        full = self.max_seq is not None and offset >= self.max_seq
         if len(req.output) >= req.max_new_tokens or hit_eos or full:
             req.done = True
             self.finished[req.rid] = req
@@ -178,12 +181,12 @@ class ServeLoop:
         )
         self.offsets = self.offsets + 1
         self.next_tok = toks[:, None]
-        host_toks = jax.device_get(toks)
+        host_toks, host_offs = jax.device_get((toks, self.offsets))
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
             req.output.append(int(host_toks[slot]))
-            self._maybe_finish(slot)
+            self._maybe_finish(slot, offset=int(host_offs[slot]))
 
     def run(self, max_steps: int = 10_000) -> Dict[int, Request]:
         """Drive until every submitted request finishes (or max_steps)."""

@@ -224,6 +224,45 @@ class Trainer:
             x = shard_batch(x, self.mesh)
         return x
 
+    # -- device-resident dataset (single-device) ---------------------------
+    #
+    # The whole train/test set uploads ONCE and per-epoch batches are
+    # gathered on device: a per-batch host->device transfer costs
+    # ~0.1-0.2 s through a tunneled chip and dominates epoch time
+    # otherwise (same latency finding as the per-step loss sync above).
+    # Disabled under a mesh (shard_batch handles placement there).
+
+    def _device_dataset(self):
+        if self.mesh is not None:
+            return None
+        if not hasattr(self, "_dev_data"):
+            self._dev_data = (
+                jnp.asarray(self.data.train_images),
+                jnp.asarray(self.data.train_labels),
+                jnp.asarray(self.data.test_images),
+                jnp.asarray(self.data.test_labels),
+            )
+        return self._dev_data
+
+    def _device_train_batches(self, ekey, batch_size):
+        """Device-side analog of ``data_lib.epoch_batches`` — SAME
+        permutation (seed derived identically) so trajectories match the
+        host path bit for bit; the gather runs on device."""
+        tx, tl, _, _ = self._device_dataset()
+        n = tx.shape[0]
+        perm_seed = int(jax.random.randint(ekey, (), 0, 2**31 - 1))
+        idx = np.arange(n)
+        np.random.RandomState(perm_seed).shuffle(idx)
+        idx = jnp.asarray(idx)
+        xp = jnp.take(tx, idx, axis=0)
+        lp = jnp.take(tl, idx, axis=0)
+        end = (n // batch_size) * batch_size
+        for i in range(0, end, batch_size):
+            yield (
+                jax.lax.dynamic_slice_in_dim(xp, i, batch_size),
+                jax.lax.dynamic_slice_in_dim(lp, i, batch_size),
+            )
+
     # -- epochs -----------------------------------------------------------
 
     def train_epoch(self, epoch: int, log: Callable[[str], None] = print) -> float:
@@ -234,11 +273,13 @@ class Trainer:
         self.key, ekey = jax.random.split(self.key)
         losses = []
         t0 = time.time()
-        for i, (xb, yb) in enumerate(
-            data_lib.epoch_batches(
+        if self._device_dataset() is not None:
+            batch_iter = self._device_train_batches(ekey, cfg.batch_size)
+        else:
+            batch_iter = data_lib.epoch_batches(
                 ekey, self.data.train_images, self.data.train_labels, cfg.batch_size
             )
-        ):
+        for i, (xb, yb) in enumerate(batch_iter):
             self.key, bkey = jax.random.split(self.key)
             if cfg.ptq:
                 if i >= cfg.ptq_batch:
@@ -298,17 +339,34 @@ class Trainer:
             )
             log(f"entropy calibration resolved {len(table)} thresholds")
 
+    def _eval_batches(self):
+        bs = self.cfg.batch_size
+        dev = self._device_dataset()
+        if dev is None:
+            yield from data_lib.epoch_batches(
+                jax.random.PRNGKey(0),
+                self.data.test_images,
+                self.data.test_labels,
+                bs,
+                shuffle=False,
+                drop_remainder=False,
+            )
+            return
+        _, _, ex, el = dev
+        n = ex.shape[0]
+        full = (n // bs) * bs
+        for i in range(0, full, bs):
+            yield (
+                jax.lax.dynamic_slice_in_dim(ex, i, bs),
+                jax.lax.dynamic_slice_in_dim(el, i, bs),
+            )
+        if full < n:  # static-shape remainder (one extra compiled program)
+            yield ex[full:], el[full:]
+
     def evaluate(self) -> Tuple[float, float]:
         eval_mode(self.model)
         total_loss, total_correct, n = 0.0, 0, 0
-        for xb, yb in data_lib.epoch_batches(
-            jax.random.PRNGKey(0),
-            self.data.test_images,
-            self.data.test_labels,
-            self.cfg.batch_size,
-            shuffle=False,
-            drop_remainder=False,
-        ):
+        for xb, yb in self._eval_batches():
             loss, correct = self._eval_step(
                 self.model, self._to_device(xb), self._to_device(yb)
             )

@@ -170,3 +170,33 @@ def test_trained_model_order_stable_under_grad():
     opt.update(q, grads)
     assert np.isfinite(float(loss))
     assert _child_names(q) == ["conv", "bn", "relu"]
+
+
+def test_first_last_layer_bit_overrides():
+    """QuantConfig first/last-layer exceptions: the first and last
+    quantizable conv/linear get the override widths, the body keeps the
+    base widths — across containers and bn_fuse pairing (the reference's
+    skip-first/skip-last rules as bit overrides)."""
+    import jax
+    from flax import nnx
+
+    from micronet_tpu.models import nin_gc
+    from micronet_tpu.nn import prepare, qat_iao
+    from micronet_tpu.quant.config import QuantConfig
+
+    cfg = QuantConfig(
+        a_bits=4, w_bits=4, bn_fuse=True,
+        first_layer_a_bits=8, first_layer_w_bits=8,
+        last_layer_a_bits=6, last_layer_w_bits=8,
+    )
+    q = prepare(nin_gc.Net(rngs=nnx.Rngs(0)), cfg, method="iao")
+    seen, uniq = set(), []
+    for _, m in nnx.iter_modules(q):
+        if isinstance(m, qat_iao.QuantBNFuseConv2d) and id(m) not in seen:
+            seen.add(id(m))
+            uniq.append(m)
+    bits = sorted(
+        (m.activation_quantizer.bits, m.weight_quantizer.bits) for m in uniq
+    )
+    assert bits.count((4, 4)) == 7  # 9-layer body minus first/last
+    assert (8, 8) in bits and (6, 8) in bits

@@ -199,3 +199,17 @@ def test_fit_restore_best(tmp_path):
     best = tr.fit(log=lambda s: None, restore_best=True)
     _, acc_now = tr.evaluate()
     np.testing.assert_allclose(acc_now, best, atol=1e-6)
+
+
+def test_scaled_milestones():
+    from micronet_tpu.train import scaled_milestones
+
+    # budgets >= the reference keep the reference schedule verbatim
+    assert scaled_milestones(300) == (80, 130, 180, 230, 280)
+    assert scaled_milestones(400) == (80, 130, 180, 230, 280)
+    # short budgets: two decays at 60%/85% (most of training at base LR)
+    assert scaled_milestones(20) == (12, 17)
+    assert scaled_milestones(40) == (24, 34)
+    # degenerate budgets stay valid (sorted, >= 1)
+    ms = scaled_milestones(2)
+    assert ms == tuple(sorted(ms)) and ms[0] >= 1
