@@ -258,11 +258,17 @@ def adaptive_avg_pool2d(x: jax.Array, output_size: IntPair) -> jax.Array:
 def channel_shuffle(x: jax.Array, groups: int) -> jax.Array:
     """Channel shuffle for grouped convolutions (nin_gc.py:4-15), NHWC.
 
-    Split channels into ``groups``, transpose group/channel axes, flatten —
-    a pure reshape/transpose XLA folds into the surrounding convs.
+    Implemented as a STATIC last-axis permutation gather rather than the
+    reshape/swapaxes/reshape composition: the 5-D transposed
+    intermediate ``(..., c/g, g)`` can get materialized with an (8,128)
+    tile on a minor-most axis of size ``g`` — measured 64x layout
+    padding (a 256 MB buffer became 16 GB and OOM'd the PTQ program).
+    A 1-D channel gather is layout-neutral and XLA folds it into the
+    surrounding convs the same way.
     """
     b, h, w, c = x.shape
     assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
-    x = x.reshape(b, h, w, groups, c // groups)
-    x = jnp.swapaxes(x, 3, 4)
-    return x.reshape(b, h, w, c)
+    # perm[j] = source channel of output j: output flattens (c/g, g), so
+    # j = k * g + r  <-  channel r * (c/g) + k of the input
+    perm = np.arange(c).reshape(groups, c // groups).T.reshape(-1)
+    return jnp.take(x, jnp.asarray(perm), axis=3)
