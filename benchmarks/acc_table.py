@@ -42,11 +42,20 @@ import tempfile
 import time
 
 import jax
-import numpy as np
-from flax import nnx
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+# persistent XLA compile cache (same rationale as bench.py): each row's
+# engine-freeze/eval compiles are minutes on the tunneled chip and are
+# identical across runs — repeat table builds and recipe sweeps reuse them
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+from flax import nnx
 
 # engine-vs-fake-quant accuracy gate: int execution is exact up to f32
 # accumulation order, so only argmax near-ties may flip — a handful of
@@ -159,15 +168,25 @@ def _engine_acc_iao(model, qcfg, trainer):
     exact_cfg = dataclasses.replace(qcfg, act_codes="off")
     fused = fuse_bn_iao(model, exact_cfg)
     eval_mode(fused)
-    fused_exact_acc = _eval_model(trainer, fused)
-    x0 = jax.numpy.zeros((1, 32, 32, 3), jax.numpy.float32)
-    engine = freeze_int(fused, example_input=x0)
-    eval_mode(engine)
-    return _eval_model(trainer, engine), fused_exact_acc
+    # 'highest' matmul precision for BOTH evals: at TPU default precision
+    # an f32 conv runs with bf16 operand passes, so the "exact" fused
+    # composition isn't exact — at A4 that alone moved accuracy ~0.7%
+    # and tripped the equivalence gate against the integer-exact engine
+    with jax.default_matmul_precision("highest"):
+        fused_exact_acc = _eval_model(trainer, fused)
+        x0 = jax.numpy.zeros((1, 32, 32, 3), jax.numpy.float32)
+        engine = freeze_int(fused, example_input=x0)
+        eval_mode(engine)
+        return _eval_model(trainer, engine), fused_exact_acc
 
 
-def _engine_acc_wbwtab(model, qcfg, trainer) -> float:
-    """wbwtab BN->bias fusion + ternary engine freeze; test-set accuracy."""
+def _engine_acc_wbwtab(model, qcfg, trainer):
+    """wbwtab BN->bias fusion + ternary engine freeze; returns
+    (engine_acc, fused_acc), BOTH evaluated at 'highest' matmul
+    precision (see _engine_acc_iao): binary sign() activations flip on
+    near-zero pre-activations, so a bf16-operand fused eval vs the
+    integer-exact engine differs by a handful of images — the oracle
+    must compare exact math to exact math."""
     from micronet_tpu.infer import freeze_wbwtab, fuse_bn_wbwtab
     from micronet_tpu.nn import eval_mode
 
@@ -175,7 +194,9 @@ def _engine_acc_wbwtab(model, qcfg, trainer) -> float:
     eval_mode(fused)
     engine = freeze_wbwtab(fused)
     eval_mode(engine)
-    return _eval_model(trainer, engine)
+    with jax.default_matmul_precision("highest"):
+        fused_acc = _eval_model(trainer, fused)
+        return _eval_model(trainer, engine), fused_acc
 
 
 def _assert_engine(key, acc, engine_acc):
@@ -341,8 +362,8 @@ def _gc_composite_row(data, epochs, results):
     best, model, trainer = _train_one(
         build, "wbwtab", qcfg, data, 2 * epochs
     )
-    engine_acc = _engine_acc_wbwtab(model, qcfg, trainer)
-    _assert_engine("gc_prune_quant", best, engine_acc)
+    engine_acc, fused_acc = _engine_acc_wbwtab(model, qcfg, trainer)
+    _assert_engine("gc_prune_quant", fused_acc, engine_acc)
     results["gc_prune_quant"] = {
         "model": "nin_gc",
         "w_bits": 2,
@@ -406,6 +427,14 @@ def main(argv=None):
 
     results = {}
     t_start = time.time()
+
+    def _checkpoint():
+        """Write partial results after every row: a mid-run
+        infrastructure failure (tunnel/compiler restarts happen) keeps
+        everything computed so far."""
+        with open(args.out + ".partial", "w") as f:
+            json.dump({"rows": results}, f, indent=1)
+
     fp32_model = None
     qat_w8a8 = None  # (model, cfg) for the QAFT row
     for key, method, qcfg, sbits, mult in flavors:
@@ -435,12 +464,14 @@ def main(argv=None):
             if key == "iao_w8a8_bnfuse":
                 qat_w8a8 = (model, qcfg)
         elif method == "wbwtab" and qcfg.A == 2:
-            engine_acc = _engine_acc_wbwtab(model, qcfg, trainer)
-            _assert_engine(key, best, engine_acc)
+            engine_acc, fused_acc = _engine_acc_wbwtab(model, qcfg, trainer)
+            _assert_engine(key, fused_acc, engine_acc)
             row["engine_acc"] = round(engine_acc, 4)
+            row["fused_exact_acc"] = round(fused_acc, 4)
         elif method is None:
             fp32_model = model
         results[key] = row
+        _checkpoint()
         print(f"[acc_table] {key}: acc={row['acc']:.4f} "
               f"({row['seconds']:.0f}s)", flush=True)
 
@@ -458,6 +489,7 @@ def main(argv=None):
                 "size_mb": round(_model_size_mb(q, 8), 3),
                 "seconds": round(time.time() - t0, 1),
             }
+            _checkpoint()
             print(f"[acc_table] ptq_{observer}_w8a8: acc={acc:.4f}", flush=True)
 
         # QAFT: finetune the QAT W8A8 model with frozen quant/BN state
@@ -472,16 +504,19 @@ def main(argv=None):
             "acc": round(best, 4), "engine_acc": round(engine_acc, 4),
             "seconds": round(time.time() - t0, 1),
         }
+        _checkpoint()
         print(f"[acc_table] qaft_w8a8: acc={best:.4f}", flush=True)
 
     if not args.skip_prune:
         _prune_rows(data, args.epochs, results)
+        _checkpoint()
         print(f"[acc_table] prune_fp32_nin: "
               f"acc={results['prune_fp32_nin']['acc']:.4f}  "
               f"prune_quant_nin: acc={results['prune_quant_nin']['acc']:.4f}",
               flush=True)
     if not args.skip_prune and not args.skip_composites:
         _gc_composite_row(data, args.epochs, results)
+        _checkpoint()
         print(f"[acc_table] gc_prune_quant: "
               f"acc={results['gc_prune_quant']['acc']:.4f}", flush=True)
 
