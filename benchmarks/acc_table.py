@@ -199,13 +199,23 @@ def _engine_acc_wbwtab(model, qcfg, trainer):
         return _eval_model(trainer, engine), fused_acc
 
 
-def _assert_engine(key, acc, engine_acc):
+def _assert_engine(key, acc, engine_acc, train_acc=None):
     if abs(acc - engine_acc) > ENGINE_TOL:
         raise AssertionError(
             f"{key}: engine acc {engine_acc:.4f} deviates from fake-quant "
             f"acc {acc:.4f} by {abs(acc - engine_acc):.4f} > {ENGINE_TOL} — "
             "train==inference equivalence oracle violated "
             "(reference bn_fused_model_test.py:24-117)"
+        )
+    # a both-sides-broken export (e.g. the round-4 mixed-bit fusion bug
+    # collapsed fused AND engine to chance) trivially satisfies the
+    # equivalence check — also require the fused model to stay near the
+    # train accuracy (the drift between them is eval-precision class)
+    if train_acc is not None and train_acc - acc > 0.05:
+        raise AssertionError(
+            f"{key}: fused model acc {acc:.4f} collapsed vs train acc "
+            f"{train_acc:.4f} — export is broken even though engine "
+            "matches it"
         )
 
 
@@ -458,14 +468,14 @@ def main(argv=None):
             engine_acc, fused_exact = _engine_acc_iao(model, qcfg, trainer)
             # the oracle: engine == EXACT-composition fused eval; the
             # bf16-lowering train/eval drift is reported, not asserted
-            _assert_engine(key, fused_exact, engine_acc)
+            _assert_engine(key, fused_exact, engine_acc, train_acc=best)
             row["engine_acc"] = round(engine_acc, 4)
             row["fused_exact_acc"] = round(fused_exact, 4)
             if key == "iao_w8a8_bnfuse":
                 qat_w8a8 = (model, qcfg)
         elif method == "wbwtab" and qcfg.A == 2:
             engine_acc, fused_acc = _engine_acc_wbwtab(model, qcfg, trainer)
-            _assert_engine(key, fused_acc, engine_acc)
+            _assert_engine(key, fused_acc, engine_acc, train_acc=best)
             row["engine_acc"] = round(engine_acc, 4)
             row["fused_exact_acc"] = round(fused_acc, 4)
         elif method is None:

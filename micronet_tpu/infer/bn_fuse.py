@@ -63,8 +63,21 @@ def _fuse_iao_conv(
     w_fused = w * (gamma / std)
     b_fused = beta + (b - mean) * (gamma / std)
 
+    # inherit THIS layer's trained bit widths, not the global config's:
+    # under first/last-layer exceptions (QuantConfig) the trained
+    # quantizer may be 8-bit while the body is 4 — rebuilding it at the
+    # body width reinterprets an 8-bit-range scale as a 4-bit one and
+    # crushes the layer's activations 16x (found round 4: the fl8 fused
+    # model and engine both collapsed to chance accuracy)
+    import dataclasses
+
+    layer_cfg = dataclasses.replace(
+        cfg,
+        a_bits=bn_conv.activation_quantizer.bits,
+        w_bits=bn_conv.weight_quantizer.bits,
+    )
     q = qat_iao.QuantConv2d(
-        cfg=cfg,
+        cfg=layer_cfg,
         rngs=rngs,
         **{**_conv_args(bn_conv), "bias": True},
     )

@@ -243,3 +243,50 @@ def test_w4_weights_pack_and_match():
     for m in convs:
         kh, kw, cg, co = m.w_shape
         assert m.w_q[...].shape == (kh * kw * cg // 2, co)
+
+
+def test_mixed_bit_fl8_fuse_and_freeze():
+    """First/last-layer bit exceptions survive BN fusion + engine freeze:
+    fuse_bn_iao must rebuild each layer at ITS OWN trained widths, not
+    the global config's (round-4 bug: an 8-bit-trained first layer
+    rebuilt at the 4-bit body width reinterpreted its scale and crushed
+    activations 16x — fused AND engine collapsed to chance together)."""
+    from micronet_tpu.infer import fuse_bn_iao
+    from micronet_tpu.models import nin
+
+    cfg = QuantConfig(
+        a_bits=4, w_bits=4, bn_fuse=True,
+        first_layer_a_bits=8, first_layer_w_bits=8,
+        last_layer_a_bits=8, last_layer_w_bits=8,
+    )
+    q = prepare(nin.Net(cfg=[16] * 8, rngs=nnx.Rngs(0)), cfg, method="iao")
+    M.train_mode(q)
+    for i in range(3):
+        q(jax.random.normal(jax.random.PRNGKey(i), (4, 32, 32, 3)))
+    fused = fuse_bn_iao(q, cfg)
+    M.eval_mode(fused)
+    # fused layers keep THEIR trained widths: 8-bit first+last, 4-bit body
+    from micronet_tpu.nn import qat_iao
+
+    bits = sorted(
+        (m.activation_quantizer.bits, m.weight_quantizer.bits)
+        for _, m in {
+            id(mm): (n, mm)
+            for n, mm in nnx.iter_modules(fused)
+            if isinstance(mm, qat_iao.QuantConv2d)
+        }.values()
+    )
+    assert bits.count((8, 8)) == 2 and bits.count((4, 4)) == 7, bits
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 32, 32, 3))
+    ref = fused(x)
+    eng = freeze_int(fused, example_input=x[:1])
+    M.eval_mode(eng)
+    got = eng(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+    # and the fused model is not degenerate: eval-mode q vs fused agree
+    M.eval_mode(q)
+    qref = q(x)
+    corr = np.corrcoef(
+        np.asarray(qref).reshape(-1), np.asarray(ref).reshape(-1)
+    )[0, 1]
+    assert corr > 0.99, corr
