@@ -335,10 +335,15 @@ def _kernel_blocked_cur(
 
     @pl.when(j == nb - 1)
     def _finalize():
-        lcur = jax.lax.dot_general(
-            q, kcur_ref[0].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+        # N=1 bf16 dots trip a Mosaic vector.broadcast verifier error on
+        # hardware; the elementwise forms below are bit-equivalent
+        # (bf16 values cast to f32 exactly; bf16*bf16 products are exact
+        # in f32) — same precision class as the cached columns' MXU dot
+        lcur = jnp.sum(
+            q.astype(jnp.float32)
+            * kcur_ref[0].astype(jnp.bfloat16).astype(jnp.float32),
+            axis=1,
+            keepdims=True,
         )  # (8, 1)
         lcur = lcur * kscur_ref[g] * inv
         m_fin = jnp.maximum(m_ref[...], lcur)
@@ -346,10 +351,9 @@ def _kernel_blocked_cur(
         pcur = jnp.exp(lcur - m_fin)
         denom = l_ref[...] * corr_f + pcur
         pvcur = (pcur * vscur_ref[g]).astype(jnp.bfloat16)
-        acc = acc_ref[...] * corr_f + jax.lax.dot_general(
-            pvcur, vcur_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+        acc = acc_ref[...] * corr_f + (
+            pvcur.astype(jnp.float32)
+            * vcur_ref[0].astype(jnp.float32)  # (1, D) broadcasts over rows
         )
         out_ref[0] = acc / jnp.maximum(denom, 1e-30)
 
@@ -447,11 +451,15 @@ def _kernel_cur(
     pos = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = pos < bound
     logits = jnp.where(valid, logits, -jnp.inf)
-    # current row: (1, D) int8 codes, scalar scale — one extra column
-    lcur = jax.lax.dot_general(
-        q, kcur_ref[0].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+    # current row: (1, D) int8 codes, scalar scale — one extra column.
+    # Elementwise (not an N=1 dot — Mosaic verifier rejects those on
+    # hardware); bf16 values cast to f32 exactly, so the products match
+    # the MXU's bf16xbf16->f32 class bit for bit
+    lcur = jnp.sum(
+        q.astype(jnp.float32)
+        * kcur_ref[0].astype(jnp.bfloat16).astype(jnp.float32),
+        axis=1,
+        keepdims=True,
     )  # (8, 1)
     lcur = lcur * kscur_ref[g] * inv
     m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lcur)
@@ -470,11 +478,9 @@ def _kernel_cur(
     # with f32 accumulation (bf16*bf16 is exact in f32: 8+8 < 24
     # mantissa bits) — bit-matches the appended column's MXU product
     pvcur = (pcur * vscur_ref[g]).astype(jnp.bfloat16)  # (8, 1)
-    acc = acc + jax.lax.dot_general(
-        pvcur, vcur_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
+    acc = acc + pvcur.astype(jnp.float32) * vcur_ref[0].astype(
+        jnp.float32
+    )  # (1, D) broadcasts over the 8 query rows; products exact
     out_ref[0] = acc / jnp.maximum(denom, 1e-30)
 
 
