@@ -461,8 +461,8 @@ def main():
     sections = [
         (_bench_int4, 110),
         (_bench_llm_decode, 70),
-        (_bench_train, 80),
         (_bench_attn_s8k, 40),
+        (_bench_train, 80),
         (_bench_resnet18, 60),
     ]
     for section, est in sections:
