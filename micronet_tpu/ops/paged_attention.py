@@ -1,0 +1,207 @@
+"""Pallas TPU kernel: paged int8-KV decode attention.
+
+The serving-fleet endgame of the paged cache layout
+(:mod:`micronet_tpu.quant.paged_kv`): attention reads each slot's KV
+pages STRAIGHT OUT OF THE SHARED POOL — no gather, no dense
+materialization. The page table rides as a SCALAR-PREFETCH argument so
+each grid step's BlockSpec ``index_map`` looks up which pool page to DMA
+next (``pltpu.PrefetchScalarGridSpec``): logical page ``j`` of slot
+``s`` streams pool block ``page_table[s, j]`` through VMEM, and the
+flash-style online softmax (same math as
+``decode_attention._kernel_blocked``) accumulates across a slot's pages.
+
+HBM traffic equals the sum of ACTUAL page counts — ragged batches pay
+for what they use, which is the entire point of paging. Unallocated
+logical pages point at the reserved zero page (paged_kv layout rule);
+their positions sit past the slot's length bound, so they are masked —
+and their compute is skipped with a ``pl.when`` guard (the DMA of a
+zero page still streams; a production variant would shrink the grid per
+slot, which static grids cannot express — documented trade).
+
+GQA: R query heads per KV head ride the same (8, D) query block as the
+dense kernels — one pool read serves all R rows.
+
+Reference anchor: net-new serving capability (SURVEY.md §5 stretch);
+the layout/kernel split mirrors vLLM's paged attention redesigned for
+the TPU grid + scalar-prefetch model.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["paged_decode_attend", "paged_decode_attend_xla"]
+
+_QROWS = 8
+_NEG_INF = -1e30  # finite mask: -inf nans the online-softmax rescale
+
+
+def _paged_kernel(
+    table_ref,  # (slots, MP) int32 scalar-prefetch
+    lengths_ref,  # (slots,) int32 scalar-prefetch
+    q_ref,  # (1, 8, D)
+    kc_ref,  # (1, 1, page, D) int8 — pool block chosen by index_map
+    ks_ref,  # (1, 1, 1, page) f32
+    vc_ref,  # (1, 1, page, D) int8
+    vs_ref,  # (1, 1, 1, page) f32
+    out_ref,  # (1, 8, D)
+    acc_ref, m_ref, l_ref,  # VMEM scratch
+    *,
+    heads: int,
+):
+    g = pl.program_id(0)  # slot * heads + head
+    j = pl.program_id(1)  # logical page index
+    nb = pl.num_programs(1)
+    page = kc_ref.shape[2]
+    slot = g // heads
+    bound = lengths_ref[slot]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # skip pages entirely past the fill bound (their table entries are
+    # the zero page): scratch carries through untouched
+    @pl.when(j * page < bound)
+    def _block():
+        q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
+        kc = kc_ref[0, 0]  # (page, D) int8
+        d = q_ref.shape[-1]
+        logits = jax.lax.dot_general(
+            q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (8, page)
+        logits = logits * ks_ref[0, 0, 0][None, :] * (1.0 / (d**0.5))
+        pos = j * page + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        valid = pos < bound
+        logits = jnp.where(valid, logits, _NEG_INF)
+        m_new = jnp.maximum(
+            m_ref[...], jnp.max(logits, axis=-1, keepdims=True)
+        )
+        corr = jnp.exp(m_ref[...] - m_new)
+        p = jnp.exp(logits - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0, 0, 0][None, :]).astype(jnp.bfloat16)
+        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+            pv, vc_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        m_ref[...] = m_new
+
+    @pl.when(j == nb - 1)
+    def _finalize():
+        out_ref[0] = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+
+
+def paged_decode_attend(
+    k_codes: jax.Array,  # (P, H, page, D) int8 — the page POOL
+    k_scale: jax.Array,  # (P, H, 1, page) f32
+    v_codes: jax.Array,  # (P, H, page, D) int8
+    v_scale: jax.Array,  # (P, H, 1, page) f32
+    page_table: jax.Array,  # (slots, MP) int32
+    lengths: jax.Array,  # (slots,) int32
+    q: jax.Array,  # (slots, H, R, D) f32, R <= 8 (GQA rows)
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Decode attention for every slot against its paged int8 KV, pages
+    read in place from the pool via the scalar-prefetched table.
+    Returns (slots, H, R, D)."""
+    p, h, page, d = k_codes.shape
+    slots, mp = page_table.shape
+    _, _, r, _ = q.shape
+    assert r <= _QROWS and d % 128 == 0 and page % 8 == 0, (r, d, page)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g = slots * h
+    q8 = (
+        jnp.zeros((g, _QROWS, d), jnp.float32)
+        .at[:, :r, :]
+        .set(q.reshape(g, r, d))
+    )
+
+    def kv_map(i, j, tbl, lens):
+        return (tbl[i // h, j], i % h, 0, 0)
+
+    def scale_map(i, j, tbl, lens):
+        return (tbl[i // h, j], i % h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g, mp),
+        in_specs=[
+            pl.BlockSpec((1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)),
+            pl.BlockSpec((1, 1, page, d), kv_map),
+            pl.BlockSpec((1, 1, 1, page), scale_map),
+            pl.BlockSpec((1, 1, page, d), kv_map),
+            pl.BlockSpec((1, 1, 1, page), scale_map),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_QROWS, d), jnp.float32),
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+        ],
+    )
+    import functools
+
+    out = pl.pallas_call(
+        functools.partial(_paged_kernel, heads=h),
+        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * mp * page * d * 2,
+            bytes_accessed=2 * g * mp * page * d + 2 * g * mp * page * 4,
+            transcendentals=g * mp * page,
+        ),
+        interpret=interpret,
+    )(
+        page_table.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        q8, k_codes, k_scale, v_codes, v_scale,
+    )
+    return out[:, :r, :].reshape(slots, h, r, d)
+
+
+def paged_decode_attend_xla(
+    k_codes, k_scale, v_codes, v_scale, page_table, lengths, q
+) -> jax.Array:
+    """Oracle: gather each slot's dense view, run the dense-oracle math
+    (same precision class)."""
+    from .decode_attention import decode_attend_q8kv_xla
+
+    p, h, page, d = k_codes.shape
+    slots, mp = page_table.shape
+    outs = []
+    for s in range(slots):  # oracle only — python loop is fine
+        pages = page_table[s]
+
+        def dense(codes, scale):
+            c = jnp.take(codes, pages, axis=0)  # (mp, H, page, D)
+            sc = jnp.take(scale, pages, axis=0)  # (mp, H, 1, page)
+            return (
+                c.transpose(1, 0, 2, 3).reshape(h, mp * page, d),
+                sc[:, :, 0, :].transpose(1, 0, 2).reshape(h, mp * page),
+            )
+
+        kc, ks = dense(k_codes, k_scale)
+        vc, vs = dense(v_codes, v_scale)
+        bound = jnp.full((h,), lengths[s], jnp.int32)
+        outs.append(
+            decode_attend_q8kv_xla(
+                kc, ks, vc, vs,
+                q[s].astype(jnp.float32), bound,
+            )
+        )
+    return jnp.stack(outs)

@@ -10,12 +10,14 @@ pages it has filled, so HBM scales with the sum of actual lengths, not
 
 Layout (TPU-first):
 
-- ``k_codes``/``v_codes``: ``(P, page, H, D)`` int8 page pool — the page
-  axis leads so one page is a contiguous DMA-able block, and ``(H, D)``
-  trail so a gathered page lands in the same ``(H, S, D)`` orientation
-  the attention kernels expect.
-- ``k_scale``/``v_scale``: ``(P, page, H)`` f32 per-(position, head)
-  scales, same rule as the dense cache.
+- ``k_codes``/``v_codes``: ``(P, H, page, D)`` int8 page pool — the
+  page axis leads so one page is a contiguous DMA-able block, and the
+  TRAILING ``(page, D)`` dims satisfy the TPU block rule (last two block
+  dims must be 8/128-multiples), so the paged-attention kernel's
+  BlockSpec can address ``(1, 1, page, D)`` blocks per (page, head).
+- ``k_scale``/``v_scale``: ``(P, H, 1, page)`` f32 per-(position, head)
+  scales (the singleton keeps the trailing block dims legal), same
+  per-vector rule as the dense cache.
 - ``page_table``: ``(slots, max_pages)`` int32 — slot s's i-th logical
   page lives at pool index ``page_table[s, i]`` (unallocated entries
   point at the reserved ZERO page 0, which stays all-zero, so gathers
@@ -24,14 +26,15 @@ Layout (TPU-first):
   an explicit LIFO free list (arrays, so alloc/free are jit-able).
 
 Everything is a ``struct.dataclass`` pytree; append and attend are pure
-functions like the dense cache. Attention GATHERS a slot's pages into
-the contiguous ``(H, S, D)`` view and reuses the existing fused kernels
-(``decode_attend_q8kv`` / the S-blocked variant): the gather is one
-``jnp.take`` along the page axis — XLA lowers it to dynamic-slice DMAs,
-and HBM read traffic equals the dense path's (codes are read once either
-way). A future Pallas paged kernel can skip the materialized gather by
-indexing ``page_table`` in SMEM per grid step; the layout above is
-already the one that kernel needs, which is the point of the sketch.
+functions like the dense cache. Two attention paths:
+
+- :func:`paged_gather_dense` materializes a slot's contiguous
+  ``(H, S, D)`` view (one ``jnp.take`` per buffer) for the existing
+  dense kernels;
+- :func:`micronet_tpu.ops.paged_attention.paged_decode_attend` reads
+  pages IN PLACE from the pool — the page table rides as a
+  scalar-prefetch argument whose values drive each grid step's
+  BlockSpec index_map (no gather, no dense copy; hardware-validated).
 
 Reference anchor: net-new vs the reference (its TensorRT deploy leg is
 fixed-shape, deploy/tensorrt/util_trt.py:71-98); the per-(head, position)
@@ -61,10 +64,10 @@ __all__ = [
 
 @struct.dataclass
 class PagedKVCache:
-    k_codes: jax.Array  # (P, page, H, D) int8
-    k_scale: jax.Array  # (P, page, H) f32
-    v_codes: jax.Array  # (P, page, H, D) int8
-    v_scale: jax.Array  # (P, page, H) f32
+    k_codes: jax.Array  # (P, H, page, D) int8
+    k_scale: jax.Array  # (P, H, 1, page) f32
+    v_codes: jax.Array  # (P, H, page, D) int8
+    v_scale: jax.Array  # (P, H, 1, page) f32
     page_table: jax.Array  # (slots, max_pages) int32 (0 = the zero page)
     lengths: jax.Array  # (slots,) int32
     free_stack: jax.Array  # (P,) int32 LIFO of free pool indices
@@ -72,7 +75,7 @@ class PagedKVCache:
 
     @property
     def page_size(self) -> int:
-        return self.k_codes.shape[1]
+        return self.k_codes.shape[2]
 
     @property
     def max_pages(self) -> int:
@@ -92,10 +95,10 @@ def init_paged_kv(
     hands out pages 1..P-1."""
     p = num_pages
     return PagedKVCache(
-        k_codes=jnp.zeros((p, page_size, num_heads, head_dim), jnp.int8),
-        k_scale=jnp.zeros((p, page_size, num_heads), jnp.float32),
-        v_codes=jnp.zeros((p, page_size, num_heads, head_dim), jnp.int8),
-        v_scale=jnp.zeros((p, page_size, num_heads), jnp.float32),
+        k_codes=jnp.zeros((p, num_heads, page_size, head_dim), jnp.int8),
+        k_scale=jnp.zeros((p, num_heads, 1, page_size), jnp.float32),
+        v_codes=jnp.zeros((p, num_heads, page_size, head_dim), jnp.int8),
+        v_scale=jnp.zeros((p, num_heads, 1, page_size), jnp.float32),
         page_table=jnp.zeros((slots, max_pages_per_slot), jnp.int32),
         lengths=jnp.zeros((slots,), jnp.int32),
         # LIFO: top of stack at index free_top-1; page 0 never enters
@@ -171,10 +174,10 @@ def paged_append(
     kq, ks = quantize_kv_rows(k)  # (H, D) int8, (H, 1)
     vq, vs = quantize_kv_rows(v)
     return cache.replace(
-        k_codes=cache.k_codes.at[page, offset].set(kq),
-        k_scale=cache.k_scale.at[page, offset].set(ks[:, 0]),
-        v_codes=cache.v_codes.at[page, offset].set(vq),
-        v_scale=cache.v_scale.at[page, offset].set(vs[:, 0]),
+        k_codes=cache.k_codes.at[page, :, offset, :].set(kq),
+        k_scale=cache.k_scale.at[page, :, 0, offset].set(ks[:, 0]),
+        v_codes=cache.v_codes.at[page, :, offset, :].set(vq),
+        v_scale=cache.v_scale.at[page, :, 0, offset].set(vs[:, 0]),
         page_table=table,
         lengths=cache.lengths.at[slot].set(i + 1),
         free_top=top,
@@ -192,12 +195,12 @@ def paged_gather_dense(
     pages = cache.page_table[slot]  # (max_pages,)
 
     def dense(codes, scale):
-        c = jnp.take(codes, pages, axis=0)  # (mp, page, H, D)
-        s = jnp.take(scale, pages, axis=0)  # (mp, page, H)
-        mp, ps, h, d = c.shape
+        c = jnp.take(codes, pages, axis=0)  # (mp, H, page, D)
+        s = jnp.take(scale, pages, axis=0)  # (mp, H, 1, page)
+        mp, h, ps, d = c.shape
         return (
-            c.reshape(mp * ps, h, d).transpose(1, 0, 2),  # (H, S, D)
-            s.reshape(mp * ps, h).transpose(1, 0),  # (H, S)
+            c.transpose(1, 0, 2, 3).reshape(h, mp * ps, d),  # (H, S, D)
+            s[:, :, 0, :].transpose(1, 0, 2).reshape(h, mp * ps),  # (H, S)
         )
 
     kc, ks = dense(cache.k_codes, cache.k_scale)

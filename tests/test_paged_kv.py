@@ -101,3 +101,57 @@ def test_paged_hbm_accounting_beats_dense_for_ragged_batch():
         slots=8, max_pages_per_slot=8,
     )  # capacity: 8 slots x 2 pages x 8 = 128 live tokens
     assert paged_hbm_bytes(paged) < dense_bytes / 2
+
+
+def test_paged_attention_kernel_matches_oracle():
+    """The REAL paged-attention kernel (page table as scalar prefetch in
+    the index_map — no gather, no dense materialization) against the
+    gather+dense oracle, ragged lengths across slots, GQA rows."""
+    from micronet_tpu.ops.paged_attention import (
+        paged_decode_attend,
+        paged_decode_attend_xla,
+    )
+
+    h, d, r = 2, 128, 4
+    page, slots, mp = 8, 3, 4
+    paged = init_paged_kv(
+        num_pages=1 + slots * mp, page_size=page, num_heads=h, head_dim=d,
+        slots=slots, max_pages_per_slot=mp,
+    )
+    lengths = [29, 8, 17]  # ragged: mid-page, page-aligned, 3rd-page
+    for s, n in enumerate(lengths):
+        ks, vs = _rand(10 + s, (h, n, d)), _rand(20 + s, (h, n, d))
+        paged = _fill(paged, s, ks, vs)
+    q = _rand(30, (slots, h, r, d))
+    out = paged_decode_attend(
+        paged.k_codes, paged.k_scale, paged.v_codes, paged.v_scale,
+        paged.page_table, paged.lengths, q, interpret=True,
+    )
+    ref = paged_decode_attend_xla(
+        paged.k_codes, paged.k_scale, paged.v_codes, paged.v_scale,
+        paged.page_table, paged.lengths, q,
+    )
+    assert out.shape == (slots, h, r, d)
+    # tiny pages (8) mean one online-softmax rescale per 8 columns — the
+    # bf16 probability rounding at block-local normalization accumulates
+    # to a few e-3 abs vs the one-shot oracle (production pages are
+    # 128+, where this shrinks to the e-4 class measured for the
+    # S-blocked kernels)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=5e-3
+    )
+
+
+def test_paged_attention_empty_slot_is_finite():
+    from micronet_tpu.ops.paged_attention import paged_decode_attend
+
+    h, d = 1, 128
+    paged = init_paged_kv(4, 8, h, d, slots=2, max_pages_per_slot=2)
+    paged = _fill(paged, 0, _rand(1, (h, 5, d)), _rand(2, (h, 5, d)))
+    q = _rand(3, (2, h, 1, d))
+    out = paged_decode_attend(
+        paged.k_codes, paged.k_scale, paged.v_codes, paged.v_scale,
+        paged.page_table, paged.lengths, q, interpret=True,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0, atol=1e-6)
