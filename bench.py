@@ -56,6 +56,12 @@ from flax import nnx
 
 T0 = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
+# the headline section's HARD sub-budget (VERDICT r4 item 5: on a slow
+# tunnel the fixed-size headline ate ~60% of the budget and the tail
+# sections were dropped wholesale; now the headline shrinks its iteration
+# counts to fit this fraction, and the tail runs LEAN variants instead of
+# skipping)
+HEADLINE_FRAC = 0.40
 
 
 def _remaining() -> float:
@@ -125,18 +131,37 @@ def _seed_scales(q):
 def _bench_nin_gc(detail):
     """NIN-GC engine throughput at the BASELINE headline config (W4A4) and
     — budget permitting — the W8A8 comparison point, both vs the same
-    model's FP32 eval."""
+    model's FP32 eval.
+
+    Runs under a HARD sub-budget of ``HEADLINE_FRAC * BUDGET_S``: each
+    measurement picks its iteration count from the time actually left in
+    the sub-budget (a degraded tunnel gets fewer, noisier iters — but
+    the tail sections still get their share of the budget). The W8A8
+    extras only run with sub-budget to spare."""
     from micronet_tpu.infer import freeze_int, fuse_bn_iao
     from micronet_tpu.models import nin_gc
     from micronet_tpu.nn import eval_mode, prepare, train_mode
     from micronet_tpu.quant.config import QuantConfig
+
+    hl_deadline = T0 + HEADLINE_FRAC * BUDGET_S
+
+    def hl_left() -> float:
+        return hl_deadline - time.time()
+
+    def hl_iters() -> int:
+        left = hl_left()
+        if left > 90:
+            return 64
+        if left > 45:
+            return 32
+        return 12
 
     batch = 1024
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
 
     fp_model = nin_gc.Net(rngs=nnx.Rngs(0))
     eval_mode(fp_model)
-    fps_fp = _eval_fps(fp_model, x)
+    fps_fp = _eval_fps(fp_model, x, iters=hl_iters())
 
     def build_engine(a_bits, w_bits):
         cfg = QuantConfig(a_bits=a_bits, w_bits=w_bits, bn_fuse=True)
@@ -149,38 +174,39 @@ def _bench_nin_gc(detail):
         return engine, fused
 
     engine4, _ = build_engine(4, 4)
-    fps_w4a4 = _eval_fps(engine4, x)
+    fps_w4a4 = _eval_fps(engine4, x, iters=hl_iters())
     detail.update(
         fp32_img_s=round(fps_fp, 1),
         int_engine_w4a4_img_s=round(fps_w4a4, 1),
     )
-    # W8A8 engine + fake-quant points cost two more compiles — only when
-    # they fit (the headline never depends on them)
-    if _remaining() > 300:
+    # W8A8 engine + fake-quant points cost two more compiles — only with
+    # headline sub-budget to spare (the headline never depends on them)
+    if hl_left() > 75:
         engine8, fused8 = build_engine(8, 8)
-        fps_w8a8 = _eval_fps(engine8, x)
+        fps_w8a8 = _eval_fps(engine8, x, iters=hl_iters())
         detail.update(
             int_engine_w8a8_img_s=round(fps_w8a8, 1),
             w8a8_vs_fp32=round(fps_w8a8 / fps_fp, 3),
         )
-        if _remaining() > 280:
-            fps_fq = _eval_fps(fused8, x)
+        if hl_left() > 40:
+            fps_fq = _eval_fps(fused8, x, iters=hl_iters())
             detail["fake_quant_img_s"] = round(fps_fq, 1)
     return fps_w4a4, fps_fp
 
 
-def _bench_resnet18(detail):
+def _bench_resnet18(detail, lean=False):
     from micronet_tpu.infer import freeze_int, fuse_bn_iao
     from micronet_tpu.models import resnet18
     from micronet_tpu.nn import eval_mode, prepare, train_mode
     from micronet_tpu.quant.config import QuantConfig
 
-    batch = 512
+    batch = 256 if lean else 512
+    iters = 16 if lean else 64
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
 
     fp_model = resnet18(rngs=nnx.Rngs(0))
     eval_mode(fp_model)
-    fps_fp = _eval_fps(fp_model, x)
+    fps_fp = _eval_fps(fp_model, x, iters=iters)
 
     cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
     q = prepare(resnet18(rngs=nnx.Rngs(0)), cfg, method="iao")
@@ -189,7 +215,7 @@ def _bench_resnet18(detail):
     eval_mode(fused)
     engine = freeze_int(fused, example_input=x[:1])
     eval_mode(engine)
-    fps_e = _eval_fps(engine, x)
+    fps_e = _eval_fps(engine, x, iters=iters)
 
     detail.update(
         resnet18_fp32_img_s=round(fps_fp, 1),
@@ -198,7 +224,7 @@ def _bench_resnet18(detail):
     )
 
 
-def _bench_train(detail):
+def _bench_train(detail, lean=False):
     import optax
 
     from micronet_tpu.models import nin_gc
@@ -209,7 +235,7 @@ def _bench_train(detail):
 
     batch = 256
 
-    def measure(method, cfg, iters=24):
+    def measure(method, cfg, iters=12 if lean else 24):
         model = nin_gc.Net(rngs=nnx.Rngs(0))
         if method:
             model = prepare(model, cfg, method=method, inplace=True)
@@ -240,17 +266,17 @@ def _bench_train(detail):
     detail["train_iao_w4a4_bnfuse_img_s"] = round(
         measure("iao", QuantConfig(a_bits=4, w_bits=4, bn_fuse=True)), 1
     )
-    if _remaining() > 120:
+    if not lean and _remaining() > 120:
         detail["train_iao_w8a8_img_s"] = round(
             measure("iao", QuantConfig(a_bits=8, w_bits=8)), 1
         )
-    if _remaining() > 120:
+    if not lean and _remaining() > 120:
         detail["train_iao_bnfuse_img_s"] = round(
             measure("iao", QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)), 1
         )
 
 
-def _bench_int4(detail):
+def _bench_int4(detail, lean=False):
     """hl8 W4A16 grouped kernel at the Llama-3-8B up-proj shape, M in
     {1, 8}, two measurement regimes (docs/design.md round 3; round 4
     trims M=16 and the trial counts to fit the driver budget):
@@ -261,6 +287,9 @@ def _bench_int4(detail):
       the HBM weight-read bound use THIS number (north star: >= 80%).
     - SINGLE-BUFFER ("resident"): one weight buffer reused across the
       scan — the best case (warm paths, no buffer cycling).
+
+    ``lean=True`` (degraded-tunnel fallback) keeps M=1 only with fewer
+    trials/iters — the roofline fraction still lands, just noisier.
 
     Roofline honesty: ``_roofline`` fractions use the chip's NOMINAL
     bandwidth (819 GB/s on v5e); ``_roofline_achieved`` divides by the
@@ -283,7 +312,8 @@ def _bench_int4(detail):
     # read traffic)
     rbuf = jax.random.normal(jax.random.PRNGKey(9), (16 * 2**20,), jnp.float32)
     rsec = per_step_seconds(
-        lambda s, xi: s + xi[0], rbuf, jnp.ones((8,), jnp.float32), iters=512
+        lambda s, xi: s + xi[0], rbuf, jnp.ones((8,), jnp.float32),
+        iters=256 if lean else 512,
     )
     read_gbps = rbuf.size * 4 / rsec / 1e9
     detail["hbm_read_gbps_measured"] = round(read_gbps, 0)
@@ -323,12 +353,12 @@ def _bench_int4(detail):
         # separation (~16-50 ms of slope signal vs ~10 ms RPC jitter;
         # round-3's (8, 72) x 5 trials was accurate but blew the driver
         # budget — 3 trials at (8, 48) keeps the median stable)
-        ks = (8, 48)
+        ks = (8, 32) if lean else (8, 48)
         runners = {kk: make(kk) for kk in ks}
         for kk in ks:
             np.asarray(runners[kk](packs, gss, x, jnp.int32(0)))
         slopes = []
-        for t in range(3):
+        for t in range(2 if lean else 3):
             t0 = _time.perf_counter()
             np.asarray(runners[ks[0]](packs, gss, x, jnp.int32(100 + t)))
             ts = _time.perf_counter() - t0
@@ -339,7 +369,7 @@ def _bench_int4(detail):
         slopes.sort()
         return slopes[len(slopes) // 2]
 
-    for m in (1, 8):
+    for m in ((1,) if lean else (1, 8)):
         if m != 1 and _remaining() < 150:
             detail["int4_skipped_m"] = m
             break
@@ -349,11 +379,11 @@ def _bench_int4(detail):
         x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
         sec_bf16 = per_step_seconds(
             lambda s, xi: (xi.astype(jnp.bfloat16) @ s).astype(jnp.float32),
-            wb, x, iters=512,
+            wb, x, iters=256 if lean else 512,
         )
         sec_res = per_step_seconds(
             lambda s, xi: int4_matmul_grouped_hl8(xi, s[0], s[1]),
-            (packed, gscale), x, iters=512,
+            (packed, gscale), x, iters=256 if lean else 512,
         )
         sec_str = stream_seconds(m)
         bytes_r = k // 2 * n + (k // g) * n * 4 + m * k * 4 + m * n * 4
@@ -370,7 +400,7 @@ def _bench_int4(detail):
             detail["bf16_matmul_us"] = round(sec_bf16 * 1e6, 1)
 
 
-def _bench_llm_decode(detail):
+def _bench_llm_decode(detail, lean=False):
     """One Llama-8B-shaped decode step: W4 grouped weights + int8 KV vs
     bf16 weights + bf16 KV (benchmarks/llm_decode.py, condensed)."""
     import importlib.util
@@ -402,10 +432,10 @@ def _bench_llm_decode(detail):
     cache = append_kv(cache, fk, fv)
     sec_q = per_step_seconds(
         lambda s, xi: mod.decode_step_w4(s[0], s[1], xi)[0], (params, cache), x,
-        iters=192,
+        iters=96 if lean else 192,
     )
     detail["decode_w4_int8kv_us"] = round(sec_q * 1e6, 1)
-    if _remaining() > 90:
+    if not lean and _remaining() > 90:
         wsb = {n: w.astype(jnp.bfloat16) for n, w in ws.items()}
         sec_b = per_step_seconds(
             lambda s, xi: mod.decode_step_bf16(s[0], s[1], s[2], xi),
@@ -419,20 +449,18 @@ def _bench_llm_decode(detail):
         )
 
 
-def _bench_attn_s8k(detail):
+def _bench_attn_s8k(detail, lean=False):
     """Long-context decode attention: the S-blocked online-softmax kernel
     at S=8192 (cache no longer VMEM-resident) vs the whole-cache kernel
     at S=2048 — the serving-realism row (VERDICT r3 item 8). 8 KV heads,
     D=128, GQA R=4: one Llama-3-8B layer's decode attention."""
-    from micronet_tpu.ops.decode_attention import (
-        decode_attend_q8kv,
-        decode_attend_q8kv_blocked,
-    )
+    from micronet_tpu.ops.decode_attention import decode_attend_q8kv
     from micronet_tpu.quant.kv_cache import append_kv, init_kv_cache
     from micronet_tpu.utils.timing import per_step_seconds
 
     g, d, r = 8, 128, 4
-    for s, tag in ((2048, "s2k"), (8192, "s8k")):
+    shapes = ((8192, "s8k"),) if lean else ((2048, "s2k"), (8192, "s8k"))
+    for s, tag in shapes:
         fill = s - 1
         cache = append_kv(
             init_kv_cache(g, s, d),
@@ -441,41 +469,136 @@ def _bench_attn_s8k(detail):
         )
         q = jax.random.normal(jax.random.PRNGKey(3), (g, r, d))
         bound = jnp.full((g,), fill, jnp.int32)
-        fn = decode_attend_q8kv if s <= 4096 else decode_attend_q8kv_blocked
+        # ALWAYS go through the dispatcher: at S=8192 it picks the
+        # S-blocked kernel with the largest block (2048) — the round-4
+        # bench called the blocked kernel directly and silently measured
+        # its default block_s=1024 (~2/3 the bandwidth of 2048)
+        fn = decode_attend_q8kv
         sec = per_step_seconds(
             lambda st, qi: fn(st[0], st[1], st[2], st[3], qi, st[4]),
             (cache.k_codes, cache.k_scale[..., 0], cache.v_codes,
              cache.v_scale[..., 0], bound),
-            q, iters=512,
+            q, iters=256 if lean else 512,
         )
         bytes_r = 2 * g * s * d + 2 * g * s * 4  # codes + scales
         detail[f"attn_{tag}_us"] = round(sec * 1e6, 1)
         detail[f"attn_{tag}_gbps"] = round(bytes_r / sec / 1e9, 0)
 
 
+def _bench_paged_attn(detail, lean=False):
+    """Paged-KV serving economics (VERDICT r4 items 1b + 8): the paged
+    decode-attention kernel over a RAGGED batch vs the dense S-blocked
+    kernel over the slots*max_seq cache.
+
+    - ``paged_ragged_us`` / ``paged_hbm_ratio``: 8 slots whose actual
+      lengths sum to ~1/5 of 8 x 8192 — the paged kernel's HBM traffic
+      (and, with the tail-clamped index_map eliding zero-page DMAs, its
+      time) scales with the ACTUAL pages, the dense kernel's with
+      slots*max_seq.
+    - ``paged_full_vs_dense``: every slot full — the paged layout's
+      overhead at equal work (target: within ~10% of dense).
+    """
+    from micronet_tpu.ops.paged_attention import paged_decode_attend
+    from micronet_tpu.ops.decode_attention import decode_attend_q8kv_blocked
+    from micronet_tpu.quant.kv_cache import append_kv, init_kv_cache
+    from micronet_tpu.quant.paged_kv import (
+        init_paged_kv,
+        paged_insert_from_dense,
+    )
+    from micronet_tpu.utils.timing import per_step_seconds
+
+    h, d, r = 8, 128, 4
+    slots, page, mp = 8, 512, 16  # 8 slots x 8192 logical rows
+    s = mp * page
+    iters = 128 if lean else 256
+    # dense per-slot caches (slots*h, S, D) — the dense serving layout
+    fill = s - 1
+    key = jax.random.PRNGKey(0)
+    k = jax.random.normal(key, (slots * h, fill, d))
+    dense = append_kv(init_kv_cache(slots * h, s, d), k, k)
+    q = jax.random.normal(jax.random.PRNGKey(1), (slots, h, r, d))
+
+    ragged = [s, s // 4, s // 8, 512, 512, 512, 512, 512]  # 13824 of 65536 rows
+    for lengths, tag in (
+        (ragged, "ragged"),
+        ([s] * slots, "full"),
+    ):
+        if tag == "full" and lean:
+            break
+        total_pages = sum(-(-ln // page) for ln in lengths)
+        pool = init_paged_kv(1 + total_pages, page, h, d, slots, mp)
+        for si, ln in enumerate(lengths):
+            pool = paged_insert_from_dense(
+                pool, si,
+                dense.k_codes[si * h : (si + 1) * h],
+                dense.k_scale[si * h : (si + 1) * h, :, 0],
+                dense.v_codes[si * h : (si + 1) * h],
+                dense.v_scale[si * h : (si + 1) * h, :, 0],
+                jnp.int32(ln),
+            )
+        sec = per_step_seconds(
+            lambda st, qi: paged_decode_attend(
+                st[0], st[1], st[2], st[3], st[4], st[5], qi
+            ),
+            (pool.k_codes, pool.k_scale, pool.v_codes, pool.v_scale,
+             pool.page_table, pool.lengths),
+            q, iters=iters,
+        )
+        bytes_actual = total_pages * (2 * h * page * d + 2 * h * page * 4)
+        detail[f"paged_{tag}_us"] = round(sec * 1e6, 1)
+        detail[f"paged_{tag}_gbps"] = round(bytes_actual / sec / 1e9, 0)
+        if tag == "ragged":
+            dense_bytes = slots * h * (2 * s * d + 2 * s * 4)
+            detail["paged_hbm_ratio"] = round(bytes_actual / dense_bytes, 3)
+        else:
+            bound = jnp.full((slots * h,), fill, jnp.int32)
+            sec_d = per_step_seconds(
+                lambda st, qi: decode_attend_q8kv_blocked(
+                    st[0], st[1], st[2], st[3], qi, st[4], block_s=2048
+                ),
+                (dense.k_codes, dense.k_scale[..., 0], dense.v_codes,
+                 dense.v_scale[..., 0], bound),
+                q.reshape(slots * h, r, d), iters=iters,
+            )
+            detail["dense_full_us"] = round(sec_d * 1e6, 1)
+            detail["paged_full_vs_dense"] = round(sec_d / sec, 2)
+
+
 def main():
     detail = {"budget_s": BUDGET_S}
     skipped = []
     best, fps_fp = _bench_nin_gc(detail)
-    # (section, estimated cost in seconds — dominated by compiles)
+    # (section, full-cost estimate, lean-cost estimate) in seconds —
+    # dominated by compiles. A section runs FULL only if doing so leaves
+    # every later section its lean minimum; it runs LEAN otherwise, and
+    # is skipped only when even the lean variant cannot fit (VERDICT r4
+    # item 5: degraded tunnels must shrink sections, not drop them)
     sections = [
-        (_bench_int4, 110),
-        (_bench_llm_decode, 70),
-        (_bench_attn_s8k, 40),
-        (_bench_train, 80),
-        (_bench_resnet18, 60),
+        (_bench_int4, 110, 60),
+        (_bench_llm_decode, 70, 35),
+        (_bench_attn_s8k, 40, 20),
+        (_bench_paged_attn, 50, 25),
+        (_bench_train, 80, 45),
+        (_bench_resnet18, 60, 30),
     ]
-    for section, est in sections:
+    for idx, (section, full_est, lean_est) in enumerate(sections):
         name = section.__name__
-        if _remaining() < est:
+        tail_lean = sum(le for _, _, le in sections[idx + 1 :])
+        if _remaining() >= full_est + tail_lean:
+            lean = False
+        elif _remaining() >= lean_est:
+            lean = True
+        else:
             skipped.append(name)
             continue
         t0 = time.time()
         try:
-            section(detail)
+            section(detail, lean=lean)
         except Exception as e:  # keep the headline metric robust
             detail[name + "_error"] = repr(e)[:200]
         detail[name + "_s"] = round(time.time() - t0, 1)
+        if lean:
+            detail[name + "_lean"] = True
 
     detail["skipped_sections"] = skipped
     detail["elapsed_s"] = round(time.time() - T0, 1)

@@ -116,6 +116,56 @@ def _params_m(model) -> float:
     return total / 1e6
 
 
+def _gflops(model) -> float:
+    """Forward GFLOPs at batch 1 from XLA's own cost analysis — the
+    compute-reduction column of the reference table (README.md:1069:
+    pruning's headline is 0.15 -> 0.09 GFLOPs). Measured on the FLOAT
+    architecture (quantization does not change the conv work; the
+    reference leaves GFLOPs blank for quant rows)."""
+    import jax.numpy as jnp
+
+    from micronet_tpu.nn import eval_mode
+
+    eval_mode(model)
+    gdef, state = nnx.split(model)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    compiled = jax.jit(
+        lambda s, xi: nnx.merge(gdef, s)(xi)
+    ).lower(state, x).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns one dict per device
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)) / 1e9
+
+
+def _engine_acc_dorefa(model, trainer):
+    """DoReFa 'engine': the reference's deploy leg for this flavor is the
+    pre-quantized quant_inference model (quant_model_test.py:189-191 —
+    weight fake-quant applied ONCE, only activation quant at runtime).
+    Returns (inference_acc, train_acc) both at 'highest' matmul
+    precision (same paired-eval precision contract as _engine_acc_iao)."""
+    from micronet_tpu.infer.bn_fuse import _copy_model, pre_quantize_weights
+    from micronet_tpu.nn import eval_mode, qat_dorefa
+
+    inf = _copy_model(model)
+    for _, m in nnx.iter_modules(inf):
+        if isinstance(
+            m,
+            (
+                qat_dorefa.QuantConv2d,
+                qat_dorefa.QuantConvTranspose2d,
+                qat_dorefa.QuantLinear,
+            ),
+        ):
+            m.quant_inference = True
+    pre_quantize_weights(inf)
+    eval_mode(inf)
+    with jax.default_matmul_precision("highest"):
+        inf_acc = _eval_model(trainer, inf)
+        train_acc = _eval_model(trainer, model)
+    return inf_acc, train_acc
+
+
 def _train_one(
     build_model, method, qcfg, data, epochs, lr=1e-3, seed=1, model=None
 ):
@@ -275,8 +325,31 @@ def _prune_rows(data, epochs, results):
     """NIN sparse-train -> slimming prune (50%) -> finetune, via the CLI
     (the reference's 3-script chain), THEN the Prune+Quant composite:
     the finetuned pruned model through IAO W8A8 QAT (iao/main.py
-    --prune_quant) with engine freeze."""
+    --prune_quant) with engine freeze.
+
+    Also trains the plain fp32 NIN baseline (the reference table's first
+    row, README.md:1067) so the prune rows get deltas against THEIR OWN
+    architecture's fp32 accuracy (VERDICT r4 item 6 — deltas vs nin_gc
+    were cross-architecture)."""
     from micronet_tpu import cli
+    from micronet_tpu.models import nin as nin_lib
+
+    # fp32 nin baseline (same budget as every other row)
+    t0 = time.time()
+    best_nin, nin_model, _ = _train_one(
+        lambda rngs: nin_lib.Net(rngs=rngs), None, None, data, epochs
+    )
+    results["fp32_nin"] = {
+        "model": "nin",
+        "w_bits": 32,
+        "a_bits": 32,
+        "acc": round(best_nin, 4),
+        "params_m": round(_params_m(nin_model), 3),
+        "size_mb": round(_model_size_mb(nin_model, 32), 3),
+        "gflops": round(_gflops(nin_model), 4),
+        "epochs": epochs,
+        "seconds": round(time.time() - t0, 1),
+    }
 
     with tempfile.TemporaryDirectory() as td:
         sparse_ckpt = os.path.join(td, "sparse.npz")
@@ -314,7 +387,12 @@ def _prune_rows(data, epochs, results):
             "acc": round(max(acc, best), 4),
             "params_m": round(_params_m(model), 3),
             "size_mb": round(_model_size_mb(model, 32), 3),
+            "gflops": round(_gflops(model), 4),
             "cfg": list(pruned_cfg),
+            # budget note: this row sees sparse-train(epochs) +
+            # finetune(epochs) = 2x the fp32_nin baseline's steps — the
+            # reference's own pipeline shape (3 sequential scripts)
+            "train_budget_epochs": 2 * epochs,
         }
 
         # composite: pruned float model -> IAO W8A8 bn_fuse QAT -> engine
@@ -337,7 +415,13 @@ def _prune_rows(data, epochs, results):
             "engine_acc": round(engine_acc, 4),
             "params_m": round(_params_m(model_q), 3),
             "size_mb": round(_model_size_mb(model_q, 8), 3),
+            "gflops": round(_gflops(nin.Net(cfg=pruned_cfg, rngs=nnx.Rngs(0))), 4),
             "cfg": list(pruned_cfg),
+            # why this row can beat unpruned rows (VERDICT r4 item 6):
+            # it accumulates sparse-train + finetune + QAT = 3x the
+            # baseline's epochs (the reference pipeline's shape); the
+            # delta below is still reported against fp32_nin at 1x
+            "train_budget_epochs": 3 * epochs,
         }
 
 
@@ -382,6 +466,9 @@ def _gc_composite_row(data, epochs, results):
         "engine_acc": round(engine_acc, 4),
         "params_m": round(_params_m(model), 3),
         "size_mb": round(_model_size_mb(model, 2), 3),
+        "gflops": round(
+            _gflops(nin_gc.Net(cfg=list(cfg_pruned), rngs=nnx.Rngs(0))), 4
+        ),
         "pruned_cfg": [int(c) for c in cfg_pruned],
         "pruned_ratio": round(float(ratio), 4),
     }
@@ -473,6 +560,13 @@ def main(argv=None):
             row["fused_exact_acc"] = round(fused_exact, 4)
             if key == "iao_w8a8_bnfuse":
                 qat_w8a8 = (model, qcfg)
+        elif method == "dorefa":
+            # paired-model oracle for the dorefa deploy leg: pre-quantized
+            # quant_inference model == train model (VERDICT r4 item 6 —
+            # this was the one quant row without an engine number)
+            engine_acc, train_eval = _engine_acc_dorefa(model, trainer)
+            _assert_engine(key, train_eval, engine_acc)
+            row["engine_acc"] = round(engine_acc, 4)
         elif method == "wbwtab" and qcfg.A == 2:
             engine_acc, fused_acc = _engine_acc_wbwtab(model, qcfg, trainer)
             _assert_engine(key, fused_acc, engine_acc, train_acc=best)
@@ -480,6 +574,7 @@ def main(argv=None):
             row["fused_exact_acc"] = round(fused_acc, 4)
         elif method is None:
             fp32_model = model
+            row["gflops"] = round(_gflops(model), 4)
         results[key] = row
         _checkpoint()
         print(f"[acc_table] {key}: acc={row['acc']:.4f} "
@@ -531,8 +626,17 @@ def main(argv=None):
               f"acc={results['gc_prune_quant']['acc']:.4f}", flush=True)
 
     fp32 = results["fp32"]["acc"]
+    fp32_nin = results.get("fp32_nin", {}).get("acc")
     for key, row in results.items():
-        if row.get("model") == "nin_gc" or key.startswith("ptq"):
+        if row.get("model") == "nin" and fp32_nin is not None:
+            # prune rows: delta against THEIR architecture's baseline
+            row["acc_delta_vs_fp32"] = round(fp32_nin - row["acc"], 4)
+            base_mb = results["fp32_nin"]["size_mb"]
+            if "size_mb" in row:
+                row["compression_pct"] = round(
+                    100 * (1 - row["size_mb"] / base_mb), 2
+                )
+        elif row.get("model") == "nin_gc" or key.startswith("ptq"):
             row["acc_delta_vs_fp32"] = round(fp32 - row["acc"], 4)
             base_mb = results["fp32"]["size_mb"]
             if "size_mb" in row:

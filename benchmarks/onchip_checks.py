@@ -206,6 +206,69 @@ def main():
         print(f"  maxdiff {md:.2e}", flush=True)
         assert md < 2e-3, md
 
+    @check("paged cur-kernel vs oracle (deferred-append serving path)")
+    def _():
+        from micronet_tpu.ops.paged_attention import (
+            paged_decode_attend_cur,
+            paged_decode_attend_cur_xla,
+        )
+        from micronet_tpu.quant.paged_kv import init_paged_kv, paged_append
+
+        h, page, slots, mp = 8, 128, 4, 4
+        paged = init_paged_kv(1 + slots * mp, page, h, d, slots, mp)
+        key = jax.random.PRNGKey(21)
+        for si, n in enumerate([500, 0, 128, 77]):
+            ks = jax.random.normal(jax.random.fold_in(key, si), (h, max(n, 1), d))
+            vs = jax.random.normal(jax.random.fold_in(key, 100 + si), (h, max(n, 1), d))
+            for t in range(n):
+                paged = paged_append(paged, si, ks[:, t], vs[:, t])
+        qp = jax.random.normal(jax.random.fold_in(key, 999), (slots, h, r, d))
+        cur = jax.random.normal(jax.random.fold_in(key, 998), (slots, h, d))
+        kq, ks_ = quantize_kv_rows(cur)
+        pargs = (
+            paged.k_codes, paged.k_scale, paged.v_codes, paged.v_scale,
+            paged.page_table, paged.lengths, qp,
+            kq, ks_[..., 0], kq, ks_[..., 0],
+        )
+        out = paged_decode_attend_cur(*pargs)
+        ref = paged_decode_attend_cur_xla(*pargs)
+        md = float(jnp.max(jnp.abs(out - ref)))
+        print(f"  maxdiff {md:.2e}", flush=True)
+        assert md < 2e-3, md
+
+    @check("PAGED ServeLoop == dense ServeLoop (real kernels, evictions)")
+    def _():
+        from micronet_tpu.models.llama import Llama, LlamaConfig, quantize_llama
+        from micronet_tpu.serve import Request, ServeLoop
+
+        cfg = LlamaConfig(
+            vocab=256, dim=512, n_layers=2, n_heads=4, n_kv_heads=2,
+            mlp_dim=1024, max_seq=2048, rope_theta=10000.0,
+        )
+        m = quantize_llama(Llama(cfg, rngs=nnx.Rngs(0)), group=128)
+
+        def mk():
+            return [
+                Request(rid=0, prompt=[3, 14, 15, 9], max_new_tokens=8),
+                Request(rid=1, prompt=[99, 26, 5], max_new_tokens=6),
+                Request(rid=2, prompt=[7], max_new_tokens=7),
+            ]
+
+        dense = ServeLoop(m, max_slots=2)
+        paged = ServeLoop(m, max_slots=2, paged=True, page_size=128,
+                          num_pages=1 + 3 * 4)
+        for loop in (dense, paged):
+            for rq in mk():
+                loop.submit(rq)
+            loop.run()
+        for rid in (0, 1, 2):
+            assert paged.finished[rid].output == dense.finished[rid].output, (
+                rid, paged.finished[rid].output, dense.finished[rid].output
+            )
+        top0 = 3 * 4
+        for c in paged.caches:
+            assert int(c.free_top) == top0, "pages leaked after evictions"
+
     print("[onchip] ALL CHECKS PASS", flush=True)
 
 

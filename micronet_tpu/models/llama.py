@@ -256,6 +256,56 @@ class LlamaBlock(OrderedModule):
         gated = jax.nn.silu(gu[:, : cfg.mlp_dim]) * gu[:, cfg.mlp_dim :]
         return x + self.down(gated), cache
 
+    def step_batch_paged(
+        self,
+        x: jax.Array,  # (B, dim) — ONE token per request
+        cache,  # PagedKVCache pool shared by B slots
+        offsets: jax.Array,  # (B,) absolute position of each token
+        active: jax.Array,  # (B,) bool — inactive lanes append nothing
+    ):
+        """Batched decode step over the PAGED pool — same math as
+        :meth:`step_batch` (deferred append, fused int8-KV attention)
+        with the cache read riding :func:`..ops.paged_attention.
+        paged_decode_attend_cur` straight out of the page pool and the
+        append allocating pages only for ACTIVE lanes
+        (:func:`..quant.paged_kv.paged_append_batch`) — in a shared pool
+        an idle lane's masked-garbage append would leak pages, so the
+        dense path's idle-lanes-are-free trade needs the mask here."""
+        from ..quant.paged_kv import paged_append_batch
+        from ..ops.paged_attention import paged_decode_attend_cur
+        from ..quant.kv_cache import quantize_kv_rows
+
+        cfg = self.cfg
+        b = x.shape[0]
+        h = self.attn_norm(x)
+        qkv = self.wqkv(h)
+        q = qkv[:, : cfg.dim].reshape(b, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, cfg.dim : cfg.dim + cfg.kv_dim].reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        v = qkv[:, cfg.dim + cfg.kv_dim :].reshape(
+            b, cfg.n_kv_heads, cfg.head_dim
+        )
+        q = apply_rope_batch(q, offsets, cfg.rope_theta)
+        k = apply_rope_batch(k, offsets, cfg.rope_theta)
+        kq, ks = quantize_kv_rows(k)  # (B, hkv, D) int8, (B, hkv, 1)
+        vq, vs = quantize_kv_rows(v)
+        hkv, d = cfg.n_kv_heads, cfg.head_dim
+        r = cfg.n_heads // hkv
+        bound = jnp.minimum(cache.lengths, offsets)  # cache w/o current
+        att = paged_decode_attend_cur(
+            cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale,
+            cache.page_table, bound,
+            q.reshape(b, hkv, r, d).astype(jnp.float32),
+            kq, ks[..., 0], vq, vs[..., 0],
+        )  # (B, hkv, r, D)
+        cache = paged_append_batch(cache, kq, ks[..., 0], vq, vs[..., 0], active)
+        x = x + self.wo(att.reshape(b, cfg.n_heads * d).astype(x.dtype))
+        h2 = self.mlp_norm(x)
+        gu = self.gateup(h2)
+        gated = jax.nn.silu(gu[:, : cfg.mlp_dim]) * gu[:, cfg.mlp_dim :]
+        return x + self.down(gated), cache
+
 
 class Llama(OrderedModule):
     """Causal Llama-family LM (unbatched forward; ServeLoop-compatible).
@@ -310,6 +360,31 @@ class Llama(OrderedModule):
             lambda l: jnp.broadcast_to(l, (batch,) + l.shape), self.init_cache()
         )
 
+    def init_paged_cache(
+        self, slots: int, page_size: int, num_pages: int
+    ) -> List:
+        """Per-layer PAGED pools for continuous-batching serving: HBM is
+        ``num_pages`` pages per layer — sized to the expected SUM of live
+        lengths, not ``slots * max_seq`` (the dense batch cache's bill).
+        Each slot's logical capacity stays ``max_seq`` rows
+        (= ``max_pages_per_slot`` pages), so the ServeLoop capacity guard
+        is unchanged."""
+        from ..quant.paged_kv import init_paged_kv
+
+        cfg = self.cfg
+        assert cfg.max_seq % page_size == 0, (cfg.max_seq, page_size)
+        return [
+            init_paged_kv(
+                num_pages=num_pages,
+                page_size=page_size,
+                num_heads=cfg.n_kv_heads,
+                head_dim=cfg.head_dim,
+                slots=slots,
+                max_pages_per_slot=cfg.max_seq // page_size,
+            )
+            for _ in range(cfg.n_layers)
+        ]
+
     def forward(
         self,
         tokens: jax.Array,  # (T,) int32
@@ -355,6 +430,20 @@ class Llama(OrderedModule):
         new_caches = []
         for blk, cache in zip(self.blocks, caches):
             x, cache = blk.step_batch(x, cache, offsets)
+            new_caches.append(cache)
+        return self.lm_head(self.norm(x))[:, None, :], new_caches
+
+    def decode_batch_paged(self, tokens, caches, offsets, active):
+        """:meth:`decode_batch` over per-layer PAGED pools: same fused
+        projections + deferred-append attention, cache reads straight
+        from the page pool (``paged_decode_attend_cur``), appends
+        allocating pages for ACTIVE lanes only. ``caches`` from
+        :meth:`init_paged_cache`; ``active`` (B,) bool is the serving
+        loop's occupancy mask."""
+        x = self.embed[...][tokens[:, 0]]  # (B, dim)
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk.step_batch_paged(x, cache, offsets, active)
             new_caches.append(cache)
         return self.lm_head(self.norm(x))[:, None, :], new_caches
 

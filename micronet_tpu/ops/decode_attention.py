@@ -56,6 +56,17 @@ _NEG_INF = -1e30  # finite mask value: -inf breaks the online-softmax
 #                  rescale (exp(-inf - -inf) = nan on fully masked blocks)
 
 
+def _largest_block(s: int) -> int:
+    """Largest S-block in {2048, 1024, 512, 256, 128} dividing ``s`` —
+    every 128-multiple S gets a blocked lowering (bigger blocks amortize
+    the online-softmax rescale; the dispatchers only call this past the
+    resident-VMEM bound)."""
+    for bs in (2048, 1024, 512, 256, 128):
+        if s % bs == 0:
+            return bs
+    raise ValueError(f"S={s} is not a 128-multiple")
+
+
 def _kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bound_ref, out_ref):
     bound = bound_ref[pl.program_id(0)]  # whole (G,) vector lives in SMEM
     q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
@@ -115,13 +126,17 @@ def decode_attend_q8kv(
         or r > _QROWS
     ):
         return decode_attend_q8kv_xla(k_codes, k_scale, v_codes, v_scale, q, bound)
-    if s > _MAX_RESIDENT_S and s % 1024 == 0:
+    if s > _MAX_RESIDENT_S:
         # long-context: stream the cache through VMEM in blocks instead
         # of holding (S, D) resident (VERDICT r3 item 8, S=8k+). Largest
         # fitting block wins: measured S=8192 D=128 sweep on v5e — 512:
         # 228 GB/s, 1024: 624, 2048: 917 (fewer grid steps amortize the
-        # per-block softmax rescale; VMEM stays ~1 MB double-buffered)
-        bs = 2048 if s % 2048 == 0 else 1024
+        # per-block softmax rescale; VMEM stays ~1 MB double-buffered).
+        # Any 128-multiple S (guaranteed by the dispatch guard above)
+        # divides by one of these — a non-1024-aligned S like 4224 must
+        # NOT fall through to the whole-cache kernel, whose VMEM
+        # footprint grows with S (ADVICE r4)
+        bs = _largest_block(s)
         return decode_attend_q8kv_blocked(
             k_codes, k_scale, v_codes, v_scale, q, bound, block_s=bs
         )
@@ -283,6 +298,13 @@ def decode_attend_q8kv_blocked(
             bytes_accessed=2 * g * s * d + 2 * g * s * 4 + g * d * 8,
             transcendentals=g * s,
         ),
+        # G rows are independent (each head's scratch lifecycle is
+        # init-at-j==0 .. finalize-at-j==nb-1); telling Mosaic lets the
+        # pipeline keep streaming KV blocks across head transitions
+        # instead of draining at each one
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
     )(
         q8, k_codes, k_scale.reshape(g, 1, s), v_codes,
@@ -410,6 +432,9 @@ def decode_attend_q8kv_blocked_cur(
             bytes_accessed=2 * g * s * d + 2 * g * s * 4 + g * d * 10,
             transcendentals=g * (s + 1),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),  # see decode_attend_q8kv_blocked
         interpret=interpret,
     )(
         q8, k_codes, k_scale.reshape(g, 1, s), v_codes,
@@ -513,8 +538,8 @@ def decode_attend_q8kv_cur(
             k_codes, k_scale, v_codes, v_scale, q, bound,
             k_cur, k_cur_scale, v_cur, v_cur_scale,
         )
-    if s > _MAX_RESIDENT_S and s % 1024 == 0:
-        bs = 2048 if s % 2048 == 0 else 1024  # see decode_attend_q8kv
+    if s > _MAX_RESIDENT_S:
+        bs = _largest_block(s)  # see decode_attend_q8kv
         return decode_attend_q8kv_blocked_cur(
             k_codes, k_scale, v_codes, v_scale, q, bound,
             k_cur, k_cur_scale, v_cur, v_cur_scale, block_s=bs,

@@ -33,10 +33,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["paged_decode_attend", "paged_decode_attend_xla"]
+__all__ = [
+    "paged_decode_attend",
+    "paged_decode_attend_xla",
+    "paged_decode_attend_cur",
+    "paged_decode_attend_cur_xla",
+]
 
 _QROWS = 8
 _NEG_INF = -1e30  # finite mask: -inf nans the online-softmax rescale
+
+
+def _tail_clamped_page(tbl, lens, i, j, heads, page):
+    """Pool page for grid step (i, j): logical page ``j`` of slot
+    ``i // heads`` — CLAMPED to the slot's last used page for steps past
+    its fill bound. Tail steps therefore map to the SAME block index as
+    the last real step, and the Pallas pipeline elides the copy (equal
+    consecutive block indices are not re-fetched) — a short slot in a
+    ragged batch pays DMA only for its ACTUAL pages (VERDICT r4 item 8's
+    zero-page DMA waste, fixed inside the static grid)."""
+    slot = i // heads
+    last_used = jnp.maximum((lens[slot] + page - 1) // page - 1, 0)
+    return tbl[slot, jnp.minimum(j, last_used)]
 
 
 def _paged_kernel(
@@ -130,10 +148,10 @@ def paged_decode_attend(
     )
 
     def kv_map(i, j, tbl, lens):
-        return (tbl[i // h, j], i % h, 0, 0)
+        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
 
     def scale_map(i, j, tbl, lens):
-        return (tbl[i // h, j], i % h, 0, 0)
+        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -165,6 +183,10 @@ def paged_decode_attend(
             bytes_accessed=2 * g * mp * page * d + 2 * g * mp * page * 4,
             transcendentals=g * mp * page,
         ),
+        # (slot, head) rows are independent; page steps carry scratch
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
     )(
         page_table.astype(jnp.int32),
@@ -172,6 +194,230 @@ def paged_decode_attend(
         q8, k_codes, k_scale, v_codes, v_scale,
     )
     return out[:, :r, :].reshape(slots, h, r, d)
+
+
+def _paged_kernel_cur(
+    table_ref,  # (slots, MP) int32 scalar-prefetch
+    lengths_ref,  # (slots,) int32 scalar-prefetch
+    q_ref,  # (1, 8, D)
+    kc_ref,  # (1, 1, page, D) int8 — pool block chosen by index_map
+    ks_ref,  # (1, 1, 1, page) f32
+    vc_ref,  # (1, 1, page, D) int8
+    vs_ref,  # (1, 1, 1, page) f32
+    kcur_ref,  # (1, 1, D) int8 — current token's K codes
+    kscur_ref,  # (G,) f32 SMEM
+    vcur_ref,  # (1, 1, D) int8
+    vscur_ref,  # (G,) f32 SMEM
+    out_ref,  # (1, 8, D)
+    acc_ref, m_ref, l_ref,  # VMEM scratch
+    *,
+    heads: int,
+):
+    """:func:`_paged_kernel`'s online softmax over a slot's pages, plus
+    the current token's quantized K/V row folded in at the LAST grid
+    step — the deferred-append serving path (``decode_batch`` over the
+    paged pool; see ``decode_attention._kernel_cur`` for why the append
+    stays outside the kernel's dataflow and for the exact precision
+    contract of the current column)."""
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    page = kc_ref.shape[2]
+    slot = g // heads
+    bound = lengths_ref[slot]
+    d = q_ref.shape[-1]
+    inv = 1.0 / (d**0.5)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(j * page < bound)
+    def _block():
+        q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
+        kc = kc_ref[0, 0]  # (page, D) int8
+        logits = jax.lax.dot_general(
+            q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (8, page)
+        logits = logits * ks_ref[0, 0, 0][None, :] * inv
+        pos = j * page + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        valid = pos < bound
+        logits = jnp.where(valid, logits, _NEG_INF)
+        m_new = jnp.maximum(
+            m_ref[...], jnp.max(logits, axis=-1, keepdims=True)
+        )
+        corr = jnp.exp(m_ref[...] - m_new)
+        p = jnp.exp(logits - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0, 0, 0][None, :]).astype(jnp.bfloat16)
+        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+            pv, vc_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        m_ref[...] = m_new
+
+    @pl.when(j == nb - 1)
+    def _finalize():
+        # current row: elementwise, not an N=1 dot (Mosaic verifier);
+        # bf16 values cast to f32 exactly, products exact in f32 — the
+        # same precision class as the cached columns' MXU products
+        q = q_ref[0].astype(jnp.bfloat16)
+        lcur = jnp.sum(
+            q.astype(jnp.float32)
+            * kcur_ref[0].astype(jnp.bfloat16).astype(jnp.float32),
+            axis=1,
+            keepdims=True,
+        )  # (8, 1)
+        lcur = lcur * kscur_ref[g] * inv
+        m_fin = jnp.maximum(m_ref[...], lcur)
+        corr_f = jnp.exp(m_ref[...] - m_fin)
+        pcur = jnp.exp(lcur - m_fin)
+        denom = l_ref[...] * corr_f + pcur
+        pvcur = (pcur * vscur_ref[g]).astype(jnp.bfloat16)
+        acc = acc_ref[...] * corr_f + (
+            pvcur.astype(jnp.float32)
+            * vcur_ref[0].astype(jnp.float32)  # (1, D) broadcasts
+        )
+        out_ref[0] = acc / jnp.maximum(denom, 1e-30)
+
+
+def paged_decode_attend_cur(
+    k_codes: jax.Array,  # (P, H, page, D) int8 — the page POOL
+    k_scale: jax.Array,  # (P, H, 1, page) f32
+    v_codes: jax.Array,  # (P, H, page, D) int8
+    v_scale: jax.Array,  # (P, H, 1, page) f32
+    page_table: jax.Array,  # (slots, MP) int32
+    lengths: jax.Array,  # (slots,) int32 — cached rows visible (< lengths)
+    q: jax.Array,  # (slots, H, R, D) f32, R <= 8 (GQA rows)
+    k_cur: jax.Array,  # (slots, H, D) int8 — current token's K codes
+    k_cur_scale: jax.Array,  # (slots, H) f32
+    v_cur: jax.Array,  # (slots, H, D) int8
+    v_cur_scale: jax.Array,  # (slots, H) f32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Paged decode attention over cache[<lengths] PLUS the current
+    token's quantized K/V row (deferred-append: the caller scatters the
+    SAME codes into the pool afterwards via ``paged_append_batch``).
+    Returns (slots, H, R, D). Falls back to the gather-dense oracle off
+    TPU or for non-tile-aligned geometry (D % 128, page % 8) — which on
+    CPU makes the paged ServeLoop bit-identical to the dense one."""
+    p, h, page, d = k_codes.shape
+    slots, mp = page_table.shape
+    _, _, r, _ = q.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu
+    if r > _QROWS or d % 128 or page % 8 or (not on_tpu and not interpret):
+        return paged_decode_attend_cur_xla(
+            k_codes, k_scale, v_codes, v_scale, page_table, lengths, q,
+            k_cur, k_cur_scale, v_cur, v_cur_scale,
+        )
+    g = slots * h
+    q8 = (
+        jnp.zeros((g, _QROWS, d), jnp.float32)
+        .at[:, :r, :]
+        .set(q.reshape(g, r, d))
+    )
+
+    def kv_map(i, j, tbl, lens):
+        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
+
+    def scale_map(i, j, tbl, lens):
+        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g, mp),
+        in_specs=[
+            pl.BlockSpec((1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)),
+            pl.BlockSpec((1, 1, page, d), kv_map),
+            pl.BlockSpec((1, 1, 1, page), scale_map),
+            pl.BlockSpec((1, 1, page, d), kv_map),
+            pl.BlockSpec((1, 1, 1, page), scale_map),
+            pl.BlockSpec((1, 1, d), lambda i, j, tbl, lens: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) k_cur_scale
+            pl.BlockSpec((1, 1, d), lambda i, j, tbl, lens: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) v_cur_scale
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_QROWS, d), jnp.float32),
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+        ],
+    )
+    import functools
+
+    out = pl.pallas_call(
+        functools.partial(_paged_kernel_cur, heads=h),
+        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * (mp * page + 1) * d * 2,
+            bytes_accessed=2 * g * mp * page * d + 2 * g * mp * page * 4
+            + g * d * 10,
+            transcendentals=g * (mp * page + 1),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(
+        page_table.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        q8, k_codes, k_scale, v_codes, v_scale,
+        k_cur.reshape(g, 1, d),
+        k_cur_scale.reshape(g).astype(jnp.float32),
+        v_cur.reshape(g, 1, d),
+        v_cur_scale.reshape(g).astype(jnp.float32),
+    )
+    return out[:, :r, :].reshape(slots, h, r, d)
+
+
+def paged_decode_attend_cur_xla(
+    k_codes, k_scale, v_codes, v_scale, page_table, lengths, q,
+    k_cur, k_cur_scale, v_cur, v_cur_scale,
+) -> jax.Array:
+    """Oracle / CPU fallback: gather each slot's dense view, then the
+    dense deferred-append oracle — on CPU this makes paged serving
+    bit-identical to the dense ServeLoop (same
+    ``decode_attend_q8kv_cur_xla`` math on identical inputs)."""
+    from .decode_attention import decode_attend_q8kv_cur_xla
+
+    p, h, page, d = k_codes.shape
+    slots, mp = page_table.shape
+    r = q.shape[2]
+    s = mp * page
+
+    def dense(codes, scale):
+        c = jnp.take(codes, page_table, axis=0)  # (slots, mp, H, page, D)
+        sc = jnp.take(scale, page_table, axis=0)  # (slots, mp, H, 1, page)
+        return (
+            c.transpose(0, 2, 1, 3, 4).reshape(slots * h, s, d),
+            sc[:, :, :, 0, :].transpose(0, 2, 1, 3).reshape(slots * h, s),
+        )
+
+    kc, ks = dense(k_codes, k_scale)
+    vc, vs = dense(v_codes, v_scale)
+    g = slots * h
+    bound = jnp.broadcast_to(lengths[:, None], (slots, h)).reshape(g)
+    out = decode_attend_q8kv_cur_xla(
+        kc, ks, vc, vs,
+        q.reshape(g, r, d).astype(jnp.float32), bound,
+        k_cur.reshape(g, d), k_cur_scale.reshape(g).astype(jnp.float32),
+        v_cur.reshape(g, d), v_cur_scale.reshape(g).astype(jnp.float32),
+    )
+    return out.reshape(slots, h, r, d)
 
 
 def paged_decode_attend_xla(

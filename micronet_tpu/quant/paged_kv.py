@@ -57,6 +57,8 @@ __all__ = [
     "paged_alloc_slot",
     "paged_free_slot",
     "paged_append",
+    "paged_append_batch",
+    "paged_insert_from_dense",
     "paged_gather_dense",
     "paged_hbm_bytes",
 ]
@@ -101,9 +103,14 @@ def init_paged_kv(
         v_scale=jnp.zeros((p, num_heads, 1, page_size), jnp.float32),
         page_table=jnp.zeros((slots, max_pages_per_slot), jnp.int32),
         lengths=jnp.zeros((slots,), jnp.int32),
-        # LIFO: top of stack at index free_top-1; page 0 never enters
+        # LIFO: top of stack at index free_top-1, so the p-1 usable
+        # pages occupy indices 0..p-2 (pop order 1, 2, ..., p-1); the
+        # zero-pad at index p-1 is never read — page 0 never enters.
+        # (The previous layout prepended the pad, shifting every page up
+        # one index: the LAST pop handed out the reserved zero page and
+        # page 1 could never be allocated — caught by the r5 OOM test.)
         free_stack=jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.arange(p - 1, 0, -1, jnp.int32)]
+            [jnp.arange(p - 1, 0, -1, jnp.int32), jnp.zeros((1,), jnp.int32)]
         ),
         free_top=jnp.asarray(p - 1, jnp.int32),
     )
@@ -122,7 +129,10 @@ def paged_alloc_slot(cache: PagedKVCache, slot: int | jax.Array) -> PagedKVCache
     def push(i, carry):
         stack, top = carry
         page = row[i]
-        do = i < n_used
+        # page > 0 guard: the reserved zero page must never enter the
+        # free list (defense in depth — a corrupted table entry would
+        # otherwise alias page 0 into normal allocation forever)
+        do = (i < n_used) & (page > 0)
         stack = jnp.where(do, stack.at[top].set(page), stack)
         return stack, top + do.astype(jnp.int32)
 
@@ -154,33 +164,154 @@ def paged_append(
 ) -> PagedKVCache:
     """Quantize-and-append one token to ``slot``, allocating a fresh page
     from the free list when the current page is full. Static shapes +
-    scatters — jit/scan friendly; OOM (empty free list) clamps to the
-    zero page (callers guard capacity like ServeLoop guards max_seq)."""
+    scatters — jit/scan friendly.
+
+    Saturation (ADVICE r4): the append is SKIPPED — no write, no length
+    increment, no pop — when (a) the slot is at capacity
+    (``max_pages * page_size`` rows) or (b) a fresh page is needed but
+    the free list is empty. The zero page and the slot's table are never
+    corrupted; callers guard capacity up front (ServeLoop checks free
+    pages at admission and force-finishes slots at max_seq)."""
     ps = cache.page_size
+    mp = cache.max_pages
+    p = cache.k_codes.shape[0]
     i = cache.lengths[slot]
-    page_idx = i // ps
+    cap = mp * ps
+    page_idx = jnp.minimum(i // ps, mp - 1)
     offset = i % ps
-    need_new = offset == 0
-    # pop a page when starting a new one (stack top; clamp at empty)
+    need_new = (offset == 0) & (i < cap)
     top = cache.free_top
     new_page = cache.free_stack[jnp.maximum(top - 1, 0)]
-    top = jnp.where(need_new & (top > 0), top - 1, top)
+    # the write proceeds iff below capacity AND (continuing a page, or a
+    # fresh page is actually available)
+    ok = (i < cap) & (~need_new | (top > 0))
+    top = jnp.where(need_new & ok, top - 1, top)
     page = jnp.where(
-        need_new, jnp.where(cache.free_top > 0, new_page, 0),
-        cache.page_table[slot, page_idx],
+        need_new, new_page, cache.page_table[slot, page_idx]
     ).astype(jnp.int32)
-    table = cache.page_table.at[slot, page_idx].set(page)
+    # skipped writes route to an out-of-bounds index and are DROPPED
+    # (mode="drop"), leaving every buffer untouched
+    tbl_col = jnp.where(ok & need_new, page_idx, mp)
+    table = cache.page_table.at[slot, tbl_col].set(page, mode="drop")
+    tgt = jnp.where(ok, page, p)
 
     kq, ks = quantize_kv_rows(k)  # (H, D) int8, (H, 1)
     vq, vs = quantize_kv_rows(v)
     return cache.replace(
-        k_codes=cache.k_codes.at[page, :, offset, :].set(kq),
-        k_scale=cache.k_scale.at[page, :, 0, offset].set(ks[:, 0]),
-        v_codes=cache.v_codes.at[page, :, offset, :].set(vq),
-        v_scale=cache.v_scale.at[page, :, 0, offset].set(vs[:, 0]),
+        k_codes=cache.k_codes.at[tgt, :, offset, :].set(kq, mode="drop"),
+        k_scale=cache.k_scale.at[tgt, :, 0, offset].set(ks[:, 0], mode="drop"),
+        v_codes=cache.v_codes.at[tgt, :, offset, :].set(vq, mode="drop"),
+        v_scale=cache.v_scale.at[tgt, :, 0, offset].set(vs[:, 0], mode="drop"),
         page_table=table,
-        lengths=cache.lengths.at[slot].set(i + 1),
+        lengths=cache.lengths.at[slot].set(i + ok.astype(jnp.int32)),
         free_top=top,
+    )
+
+
+def paged_append_batch(
+    cache: PagedKVCache,
+    k_codes: jax.Array,  # (B, H, D) int8 — pre-quantized current rows
+    k_scale: jax.Array,  # (B, H) f32
+    v_codes: jax.Array,  # (B, H, D) int8
+    v_scale: jax.Array,  # (B, H) f32
+    active: jax.Array,  # (B,) bool — inactive slots append nothing
+) -> PagedKVCache:
+    """One-token append for EVERY active slot at once — the paged serving
+    fast path's deferred append (same pattern as
+    :func:`..quant.kv_cache.append_kv_batch_quantized`: the attention
+    kernel reads the pre-append pool + the current rows as operands, and
+    this scatter's output only feeds the NEXT step).
+
+    Allocation is vectorized: slots starting a fresh page take
+    consecutive positions off the LIFO stack (exclusive cumsum ranks);
+    a slot at capacity, or needing a page when the stack has run out,
+    skips its append entirely (write dropped, length unchanged) — the
+    same saturation contract as :func:`paged_append`. Inactive lanes
+    (``active == False``) never pop pages — that is the point of the
+    mask: the dense batched cache lets idle lanes scatter masked garbage
+    for free, but in a SHARED pool an idle append would leak pages."""
+    ps = cache.page_size
+    mp = cache.max_pages
+    p = cache.k_codes.shape[0]
+    b = k_codes.shape[0]
+    rows = jnp.arange(b)
+    i = cache.lengths  # (B,)
+    cap = mp * ps
+    page_idx = jnp.minimum(i // ps, mp - 1)
+    offset = i % ps
+    need_new = active & (offset == 0) & (i < cap)
+    # rank r among the page-needing slots pops free_stack[top - 1 - r]
+    nn32 = need_new.astype(jnp.int32)
+    rank = jnp.cumsum(nn32) - nn32  # exclusive cumsum
+    can_alloc = rank < cache.free_top
+    pop_pos = cache.free_top - 1 - rank
+    new_page = cache.free_stack[jnp.maximum(pop_pos, 0)]
+    ok = active & (i < cap) & (~need_new | can_alloc)
+    n_popped = jnp.sum((need_new & can_alloc).astype(jnp.int32))
+    cur_page = cache.page_table[rows, page_idx]
+    page = jnp.where(need_new, new_page, cur_page).astype(jnp.int32)
+    tbl_col = jnp.where(ok & need_new, page_idx, mp)  # OOB -> dropped
+    table = cache.page_table.at[rows, tbl_col].set(page, mode="drop")
+    tgt = jnp.where(ok, page, p)  # OOB -> dropped
+    return cache.replace(
+        k_codes=cache.k_codes.at[tgt, :, offset, :].set(k_codes, mode="drop"),
+        k_scale=cache.k_scale.at[tgt, :, 0, offset].set(k_scale, mode="drop"),
+        v_codes=cache.v_codes.at[tgt, :, offset, :].set(v_codes, mode="drop"),
+        v_scale=cache.v_scale.at[tgt, :, 0, offset].set(v_scale, mode="drop"),
+        page_table=table,
+        lengths=i + ok.astype(jnp.int32),
+        free_top=cache.free_top - n_popped,
+    )
+
+
+def paged_insert_from_dense(
+    cache: PagedKVCache,
+    slot: int | jax.Array,
+    k_codes: jax.Array,  # (H, S, D) int8 — a slot's dense rows (prefill)
+    k_scale: jax.Array,  # (H, S) f32
+    v_codes: jax.Array,  # (H, S, D) int8
+    v_scale: jax.Array,  # (H, S) f32
+    length: jax.Array,  # scalar int32: #valid rows (<= S)
+) -> PagedKVCache:
+    """Splice a freshly prefilled DENSE cache view into ``slot`` of the
+    pool — the paged ServeLoop's admission step. ``S`` must equal
+    ``max_pages * page_size`` (the slot's logical capacity; ServeLoop
+    asserts this at construction). The slot must be empty (admission
+    frees it first); ``ceil(length / page_size)`` pages come off the
+    stack in ONE vectorized pop + one scatter per buffer. Callers check
+    capacity up front (``int(cache.free_top)``) — if the pool cannot
+    hold the prompt, pages past the stack run out are dropped and
+    ``lengths`` records only the stored rows."""
+    ps = cache.page_size
+    mp = cache.max_pages
+    p = cache.k_codes.shape[0]
+    h, s, d = k_codes.shape
+    assert s == mp * ps, (s, mp, ps)
+    n_pages = _pages_used(length, ps)  # dynamic scalar
+    j = jnp.arange(mp)
+    want = j < n_pages
+    can = j < cache.free_top
+    do = want & can
+    pages = cache.free_stack[jnp.maximum(cache.free_top - 1 - j, 0)]
+    pages = jnp.where(do, pages, 0).astype(jnp.int32)
+    n_alloc = jnp.sum(do.astype(jnp.int32))
+    table = cache.page_table.at[slot].set(pages)
+    tgt = jnp.where(do, pages, p)  # OOB -> dropped
+    # chunk the dense views into per-page blocks: (mp, H, ps, D)
+    kc = k_codes.reshape(h, mp, ps, d).transpose(1, 0, 2, 3)
+    vc = v_codes.reshape(h, mp, ps, d).transpose(1, 0, 2, 3)
+    ks = k_scale.reshape(h, mp, ps).transpose(1, 0, 2)[:, :, None, :]
+    vs = v_scale.reshape(h, mp, ps).transpose(1, 0, 2)[:, :, None, :]
+    return cache.replace(
+        k_codes=cache.k_codes.at[tgt].set(kc, mode="drop"),
+        k_scale=cache.k_scale.at[tgt].set(ks, mode="drop"),
+        v_codes=cache.v_codes.at[tgt].set(vc, mode="drop"),
+        v_scale=cache.v_scale.at[tgt].set(vs, mode="drop"),
+        page_table=table,
+        lengths=cache.lengths.at[slot].set(
+            jnp.minimum(length, n_alloc * ps)
+        ),
+        free_top=cache.free_top - n_alloc,
     )
 
 

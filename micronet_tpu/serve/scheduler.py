@@ -42,6 +42,32 @@ import jax.numpy as jnp
 __all__ = ["Request", "ServeLoop"]
 
 
+@jax.jit
+def _splice_paged(caches, single, slot, length):
+    """Admission splice: free ``slot`` (idempotent on an empty slot),
+    then page in the prefilled dense rows, per layer. One compile total
+    (slot/length are traced scalars; prompt lengths never recompile)."""
+    from ..quant.paged_kv import paged_free_slot, paged_insert_from_dense
+
+    out = []
+    for c, s in zip(caches, single):
+        c = paged_free_slot(c, slot)
+        c = paged_insert_from_dense(
+            c, slot, s.k_codes, s.k_scale[..., 0],
+            s.v_codes, s.v_scale[..., 0], length,
+        )
+        out.append(c)
+    return out
+
+
+@jax.jit
+def _free_all(caches, slot):
+    """Eviction: return ``slot``'s pages to every layer's pool."""
+    from ..quant.paged_kv import paged_free_slot
+
+    return [paged_free_slot(c, slot) for c in caches]
+
+
 @dataclasses.dataclass
 class Request:
     """One generation request.
@@ -66,18 +92,53 @@ class Request:
 
 
 class ServeLoop:
-    """Admission/eviction scheduler over ``model.forward_batch`` slots."""
+    """Admission/eviction scheduler over ``model.forward_batch`` slots.
 
-    def __init__(self, model, max_slots: int):
+    ``paged=True`` switches the KV state from the dense batched cache
+    (``slots * max_seq`` rows reserved per layer regardless of use) to
+    the shared PAGE POOL (:mod:`micronet_tpu.quant.paged_kv`): HBM is
+    ``num_pages`` pages per layer — sized to the expected sum of LIVE
+    lengths — admission allocates a prompt's pages (and defers the
+    request while the pool is full: page-level admission control, the
+    thing slot-count admission cannot express), decode appends via the
+    active-masked batch append, and eviction RETURNS the pages to the
+    pool immediately (dense slots only recycle at the next admission).
+    Requires the model to expose ``init_paged_cache`` +
+    ``decode_batch_paged`` (``Llama`` does); token streams are identical
+    to the dense loop (same deferred-append math, same sampling keys —
+    bit-identical on CPU where both ride the same XLA oracle)."""
+
+    def __init__(
+        self,
+        model,
+        max_slots: int,
+        *,
+        paged: bool = False,
+        page_size: int = 16,
+        num_pages: Optional[int] = None,
+    ):
         self.model = model
         self.b = max_slots
-        self.caches = model.init_cache_batch(max_slots)
+        self.paged = paged
+        if paged:
+            self.page_size = page_size
+            if num_pages is None:
+                # default pool = dense capacity + the zero page (callers
+                # shrink it to realize the HBM win; default is safe)
+                spec = jax.eval_shape(model.init_cache)
+                num_pages = 1 + max_slots * (int(spec[0].max_seq) // page_size)
+            self.num_pages = num_pages
+            self.caches = model.init_paged_cache(
+                max_slots, page_size, num_pages
+            )
+            self.active = jnp.zeros((max_slots,), bool)
+        else:
+            self.caches = model.init_cache_batch(max_slots)
         self.offsets = jnp.zeros((max_slots,), jnp.int32)
         self.next_tok = jnp.zeros((max_slots, 1), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * max_slots
         self.queue: Deque[Request] = deque()
         self.finished: Dict[int, Request] = {}
-        self._fresh_single = model.init_cache()
         # per-slot sampling params — traced arrays, so a request with
         # different temperature/top_k/top_p joining never recompiles
         self.temps = jnp.zeros((max_slots,), jnp.float32)
@@ -88,9 +149,13 @@ class ServeLoop:
         )
         # cache capacity: a slot at offset >= max_seq cannot append
         # another KV row, so its request is force-finished (truncated)
-        # rather than clamp-overwriting the last cache position
+        # rather than clamp-overwriting the last cache position.
+        # eval_shape: read max_seq off the cache SPEC without materializing
+        # a whole per-layer cache on device (a transient HBM spike equal to
+        # one full cache at Llama-8B shapes — ADVICE r4)
         try:
-            self.max_seq = int(model.init_cache()[0].max_seq)
+            spec = jax.eval_shape(model.init_cache)
+            self.max_seq = int(spec[0].max_seq)
         except Exception:
             self.max_seq = None
 
@@ -102,12 +167,21 @@ class ServeLoop:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
-    def _admit(self, slot: int, req: Request) -> None:
+    def _admit(self, slot: int, req: Request) -> bool:
         """Prefill ``req`` alone, then splice cache/offset/token into the
         batch state at ``slot`` (device state of the slot is fully
-        overwritten — recycling cannot leak the previous request)."""
+        overwritten — recycling cannot leak the previous request).
+        Paged mode first checks the pool has pages for the whole prompt;
+        if not, the request goes back to the queue head and admission
+        reports False (page-level admission control — the request waits
+        for evictions, exactly vLLM's behavior)."""
         from .sampling import position_key, sample_token
 
+        if self.paged:
+            needed = -(-len(req.prompt) // self.page_size)
+            if int(self.caches[0].free_top) < needed:
+                self.queue.appendleft(req)
+                return False
         prompt = jnp.asarray(req.prompt, jnp.int32)
         logits, cache_single = self.model.forward(
             prompt, self.model.init_cache(), jnp.int32(0)
@@ -120,9 +194,17 @@ class ServeLoop:
             jnp.int32(req.top_k),
             jnp.float32(req.top_p),
         )
-        self.caches = jax.tree.map(
-            lambda full, one: full.at[slot].set(one), self.caches, cache_single
-        )
+        if self.paged:
+            self.caches = _splice_paged(
+                self.caches, cache_single, jnp.int32(slot),
+                jnp.int32(len(req.prompt)),
+            )
+            self.active = self.active.at[slot].set(True)
+        else:
+            self.caches = jax.tree.map(
+                lambda full, one: full.at[slot].set(one),
+                self.caches, cache_single,
+            )
         self.offsets = self.offsets.at[slot].set(len(req.prompt))
         self.next_tok = self.next_tok.at[slot, 0].set(first)
         self.temps = self.temps.at[slot].set(req.temperature)
@@ -132,6 +214,7 @@ class ServeLoop:
         req.output.append(int(first))
         self.slot_req[slot] = req
         self._maybe_finish(slot)
+        return True
 
     def _maybe_finish(self, slot: int, offset: Optional[int] = None) -> None:
         req = self.slot_req[slot]
@@ -148,7 +231,13 @@ class ServeLoop:
         if len(req.output) >= req.max_new_tokens or hit_eos or full:
             req.done = True
             self.finished[req.rid] = req
-            self.slot_req[slot] = None  # slot recycles at next admission
+            self.slot_req[slot] = None
+            if self.paged:
+                # eviction returns the slot's pages to the pool NOW —
+                # the whole point of paging (dense slots just recycle
+                # their reserved rows at the next admission)
+                self.caches = _free_all(self.caches, jnp.int32(slot))
+                self.active = self.active.at[slot].set(False)
 
     # -- the loop -----------------------------------------------------------
 
@@ -159,19 +248,27 @@ class ServeLoop:
         for slot in self._free_slots():
             if not self.queue:
                 break
-            self._admit(slot, self.queue.popleft())
+            if not self._admit(slot, self.queue.popleft()):
+                break  # pool full: later requests wait their FIFO turn
         if not any(r is not None for r in self.slot_req):
             return
         from .sampling import position_key, sample_token_batch
 
-        # decode_batch (when the model provides it) is the M=B fast path:
-        # one matmul per projection for the whole batch instead of B
-        # vmapped M=1 matmuls — same per-request numerics, ~B× the
-        # weight-read amortization (decode is weight-bound)
-        step_fn = getattr(self.model, "decode_batch", None) or (
-            self.model.forward_batch
-        )
-        logits, self.caches = step_fn(self.next_tok, self.caches, self.offsets)
+        if self.paged:
+            logits, self.caches = self.model.decode_batch_paged(
+                self.next_tok, self.caches, self.offsets, self.active
+            )
+        else:
+            # decode_batch (when the model provides it) is the M=B fast
+            # path: one matmul per projection for the whole batch instead
+            # of B vmapped M=1 matmuls — same per-request numerics, ~B×
+            # the weight-read amortization (decode is weight-bound)
+            step_fn = getattr(self.model, "decode_batch", None) or (
+                self.model.forward_batch
+            )
+            logits, self.caches = step_fn(
+                self.next_tok, self.caches, self.offsets
+            )
         # the token produced from the input at position `off` sits at
         # position off+1 — key it by that position (matches the isolated
         # generate_sampled run token for token)

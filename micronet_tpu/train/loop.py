@@ -90,6 +90,8 @@ class TrainConfig:
     # additionally write <save>.latest.npz EVERY epoch (not just on best
     # accuracy) so preemption restarts lose at most one epoch
     keep_latest: bool = False
+    # per-batch log cadence; 0 (or negative) disables per-batch logs
+    # entirely (the per-epoch summary line still prints)
     log_every: int = 100
     # rematerialization: recompute activations in the backward pass
     # instead of storing them (jax.checkpoint) — trades ~30% step time for
@@ -300,7 +302,7 @@ class Trainer:
             # round-trip latency (fatal on a tunneled chip — measured
             # ~0.4 s/sync; async dispatch pipelines the epoch otherwise)
             losses.append(loss)
-            if i % cfg.log_every == 0 and cfg.log_every <= 1000:
+            if cfg.log_every > 0 and i % cfg.log_every == 0:
                 log(
                     f"epoch {epoch} batch {i}: loss {float(loss):.4f} "
                     f"acc {float(acc):.4f} lr {lr:.2e}"

@@ -1,0 +1,240 @@
+"""Paged-KV serving end-to-end (VERDICT r4 item 1): the page pool +
+paged-attention kernel wired into ServeLoop/Llama decode — token streams
+identical to the dense loop for mixed-length, slot-recycled,
+late-arrival requests; pages freed on eviction; page-level admission
+control; append saturation instead of pool corruption (ADVICE r4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from micronet_tpu.models.llama import Llama, llama_tiny
+from micronet_tpu.quant.paged_kv import (
+    init_paged_kv,
+    paged_append,
+    paged_append_batch,
+    paged_hbm_bytes,
+)
+from micronet_tpu.serve import Request, ServeLoop
+
+
+def _model():
+    return Llama(llama_tiny(max_seq=32), rngs=nnx.Rngs(0))
+
+
+def _isolated(model, prompt, n):
+    return [
+        int(t)
+        for t in np.asarray(
+            model.generate(jnp.asarray(prompt, jnp.int32), steps=n)
+        )
+    ]
+
+
+def _reqs():
+    return [
+        Request(rid=0, prompt=[3, 14, 15], max_new_tokens=6),
+        Request(rid=1, prompt=[9, 26, 5, 35, 8], max_new_tokens=4),
+    ]
+
+
+def test_paged_serveloop_matches_dense_loop():
+    """Mixed lengths + late arrival + slot recycling: the paged loop's
+    token streams are identical to the dense loop's (on CPU both ride
+    the same XLA deferred-append oracle — bit-identical inputs)."""
+    model = _model()
+    dense = ServeLoop(model, max_slots=2)
+    paged = ServeLoop(model, max_slots=2, paged=True, page_size=8)
+    for loop in (dense, paged):
+        for r in _reqs():
+            loop.submit(
+                Request(r.rid, list(r.prompt), r.max_new_tokens)
+            )
+        loop.step()
+        loop.step()
+        loop.submit(Request(rid=2, prompt=[1, 2], max_new_tokens=5))
+        loop.run()
+    for rid in (0, 1, 2):
+        assert (
+            paged.finished[rid].output == dense.finished[rid].output
+        ), (rid, paged.finished[rid].output, dense.finished[rid].output)
+    # and both match the isolated oracle
+    assert paged.finished[0].output == _isolated(model, [3, 14, 15], 6)
+
+
+def test_paged_pages_return_to_pool_on_finish():
+    model = _model()
+    loop = ServeLoop(model, max_slots=2, paged=True, page_size=8)
+    top0 = int(loop.caches[0].free_top)
+    for r in _reqs():
+        loop.submit(r)
+    loop.run()
+    assert not loop.queue and all(r is None for r in loop.slot_req)
+    for c in loop.caches:
+        assert int(c.free_top) == top0  # every page came back
+        assert int(jnp.sum(c.lengths)) == 0
+        assert int(jnp.max(c.page_table)) == 0  # tables reset to zero page
+
+
+def test_paged_admission_control_defers_until_pool_has_room():
+    """A pool with pages for only one request at a time: the second
+    request waits (FIFO) and still completes with the right tokens —
+    page-level admission control, which slot admission cannot express."""
+    model = _model()
+    # prompts of 3 and 5 -> 1 page each at ps=8, plus decode growth:
+    # rid 0 reaches 3+6=9 rows (2 pages), rid 1 reaches 5+4=9 (2 pages).
+    # 3 usable pages: both fit only sequentially.
+    loop = ServeLoop(model, max_slots=2, paged=True, page_size=8, num_pages=4)
+    for r in _reqs():
+        loop.submit(r)
+    done = loop.run()
+    assert set(done) == {0, 1}
+    assert done[0].output == _isolated(model, [3, 14, 15], 6)
+    assert done[1].output == _isolated(model, [9, 26, 5, 35, 8], 4)
+
+
+def test_paged_pool_smaller_than_dense_capacity_serves_everything():
+    """The HBM economics realized end-to-end: a pool at ~1/2 the dense
+    bytes serves the same request mix with identical tokens."""
+    model = _model()
+    dense = ServeLoop(model, max_slots=4)
+    paged = ServeLoop(model, max_slots=4, paged=True, page_size=8, num_pages=7)
+    dense_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(dense.caches)
+    )
+    paged_bytes = sum(paged_hbm_bytes(c) for c in paged.caches)
+    assert paged_bytes < dense_bytes / 2, (paged_bytes, dense_bytes)
+    reqs = [
+        Request(rid=i, prompt=[2 + i, 11 + i], max_new_tokens=3)
+        for i in range(6)  # 6 requests through 4 slots, tiny pool
+    ]
+    for loop in (dense, paged):
+        for r in reqs:
+            loop.submit(Request(r.rid, list(r.prompt), r.max_new_tokens))
+        loop.run()
+    for r in reqs:
+        assert paged.finished[r.rid].output == dense.finished[r.rid].output
+
+
+def test_paged_append_saturates_at_slot_capacity():
+    """ADVICE r4: at max_pages*page_size rows the append is a no-op —
+    lengths saturate, the table keeps its entries, nothing leaks."""
+    h, d, ps, mp = 1, 8, 2, 2
+    cache = init_paged_kv(8, ps, h, d, slots=1, max_pages_per_slot=mp)
+    k = jnp.ones((h, d))
+    for _ in range(mp * ps + 3):  # 3 past capacity
+        cache = paged_append(cache, 0, k, k)
+    assert int(cache.lengths[0]) == mp * ps
+    table = np.asarray(cache.page_table[0])
+    assert (table > 0).all()  # entries intact, none overwritten
+    assert len(set(table.tolist())) == mp  # no duplicate/leaked pages
+    # pool accounting: exactly mp pages consumed
+    assert int(cache.free_top) == 8 - 1 - mp
+
+
+def test_paged_append_oom_skips_write_and_preserves_zero_page():
+    """ADVICE r4: free-list exhaustion skips the append (no write to
+    page 0, no length growth); freeing the slot never pushes page 0."""
+    h, d, ps = 1, 8, 2
+    # pool with 1 usable page, slot capacity 2 pages
+    cache = init_paged_kv(2, ps, h, d, slots=1, max_pages_per_slot=2)
+    k = jnp.ones((h, d))
+    for _ in range(ps + 2):  # fills page 1, then OOMs on page 2
+        cache = paged_append(cache, 0, k, k)
+    assert int(cache.lengths[0]) == ps  # growth stopped at the OOM
+    assert int(cache.free_top) == 0
+    np.testing.assert_array_equal(np.asarray(cache.k_codes[0]), 0)  # zero page
+    from micronet_tpu.quant.paged_kv import paged_free_slot
+
+    cache = paged_free_slot(cache, 0)
+    stack = np.asarray(cache.free_stack[: int(cache.free_top)])
+    assert 0 not in stack.tolist()
+    assert int(cache.free_top) == 1  # only the real page returned
+
+
+def test_paged_append_batch_matches_sequential_appends():
+    """The vectorized active-masked batch append == per-slot sequential
+    appends (codes, scales, tables, free list), inactive lanes skipped."""
+    from micronet_tpu.quant.kv_cache import quantize_kv_rows
+
+    h, d, ps = 2, 8, 4
+    b = 3
+    key = jax.random.PRNGKey(0)
+    seq = init_paged_kv(16, ps, h, d, slots=b, max_pages_per_slot=3)
+    bat = init_paged_kv(16, ps, h, d, slots=b, max_pages_per_slot=3)
+    # stagger fills so lanes sit at different page offsets
+    pre = [5, 4, 0]
+    for s, n in enumerate(pre):
+        for t in range(n):
+            kv = jax.random.normal(jax.random.fold_in(key, s * 100 + t), (h, d))
+            seq = paged_append(seq, s, kv, kv)
+            bat = paged_append(bat, s, kv, kv)
+    active = jnp.asarray([True, True, False])
+    for t in range(6):
+        kvs = [
+            jax.random.normal(jax.random.fold_in(key, 7000 + 10 * t + s), (h, d))
+            for s in range(b)
+        ]
+        for s in range(b):
+            if bool(active[s]):
+                seq = paged_append(seq, s, kvs[s], kvs[s])
+        kq, ks = quantize_kv_rows(jnp.stack(kvs))  # (B, H, D), (B, H, 1)
+        bat = paged_append_batch(bat, kq, ks[..., 0], kq, ks[..., 0], active)
+    np.testing.assert_array_equal(np.asarray(seq.lengths), np.asarray(bat.lengths))
+    assert int(bat.lengths[2]) == 0  # inactive lane untouched
+    assert int(seq.free_top) == int(bat.free_top)
+    # the logical dense views agree (physical page ids may differ in
+    # principle, but content per (slot, position) must match)
+    from micronet_tpu.quant.paged_kv import paged_gather_dense
+
+    for s in range(b):
+        ks_, kss, vs_, vss, ln = paged_gather_dense(seq, s)
+        kb, kbs, vb, vbs, lb = paged_gather_dense(bat, s)
+        n = int(ln)
+        assert n == int(lb)
+        np.testing.assert_array_equal(
+            np.asarray(ks_[:, :n]), np.asarray(kb[:, :n])
+        )
+        np.testing.assert_allclose(
+            np.asarray(kss[:, :n]), np.asarray(kbs[:, :n])
+        )
+
+
+def test_paged_attend_cur_kernel_matches_oracle():
+    """The current-token paged kernel (interpret mode = real kernel
+    body) vs the gather-dense + dense-cur oracle, ragged lengths."""
+    from micronet_tpu.ops.paged_attention import (
+        paged_decode_attend_cur,
+        paged_decode_attend_cur_xla,
+    )
+    from micronet_tpu.quant.kv_cache import quantize_kv_rows
+
+    h, d, r = 2, 128, 2
+    page, slots, mp = 8, 3, 4
+    cache = init_paged_kv(
+        1 + slots * mp, page, h, d, slots=slots, max_pages_per_slot=mp
+    )
+    key = jax.random.PRNGKey(1)
+    lengths = [13, 0, 8]
+    for s, n in enumerate(lengths):
+        for t in range(n):
+            kv = jax.random.normal(jax.random.fold_in(key, s * 50 + t), (h, d))
+            cache = paged_append(cache, s, kv, kv)
+    q = jax.random.normal(jax.random.fold_in(key, 999), (slots, h, r, d))
+    cur = jax.random.normal(jax.random.fold_in(key, 998), (slots, h, d))
+    kq, ks = quantize_kv_rows(cur)
+    args = (
+        cache.k_codes, cache.k_scale, cache.v_codes, cache.v_scale,
+        cache.page_table, cache.lengths, q,
+        kq, ks[..., 0], kq, ks[..., 0],
+    )
+    out = paged_decode_attend_cur(*args, interpret=True)
+    ref = paged_decode_attend_cur_xla(*args)
+    assert out.shape == (slots, h, r, d)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=5e-3
+    )
