@@ -117,6 +117,7 @@ def test_conv_transpose_codes():
     _check_layer(off, on, x)
 
 
+@pytest.mark.slow
 def test_codes_training_trajectory_matches_standard():
     """5 Adam steps of a small NIN: codes-on trajectory tracks codes-off
     (f32 code dtype on CPU -> differences are float-associativity only)."""

@@ -53,6 +53,7 @@ def test_compiled_engine_matches_eager_across_batches():
         np.testing.assert_allclose(y_aot, y_eager, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_compiled_engine_opt_bucket_exact():
     engine = _frozen_engine()
     compiled = build_engine(engine, profile=(1, 3, 8))

@@ -61,6 +61,7 @@ def _prep(model_cls, cin=8):
     return q
 
 
+@pytest.mark.slow
 def test_concat_graph_chains_and_matches():
     q = _prep(CatNet)
     x = jax.random.normal(jax.random.PRNGKey(9), (4, 8, 8, 8))

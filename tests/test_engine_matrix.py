@@ -61,6 +61,7 @@ def _check(q, x, atol=1e-4, example_input=None):
     return eng
 
 
+@pytest.mark.slow
 def test_int_linear_symmetric():
     q = _prep(MLP(rngs=nnx.Rngs(0)), 0, (4, 12))
     eng = _check(q, jax.random.normal(jax.random.PRNGKey(9), (4, 12)))
@@ -84,6 +85,7 @@ def test_int_conv_transpose_symmetric():
     assert any(isinstance(m, IntConvTranspose2d) for _, m in nnx.iter_modules(eng))
 
 
+@pytest.mark.slow
 def test_int_conv_transpose_asymmetric():
     q = _prep(UpNet(rngs=nnx.Rngs(0)), 1, (2, 8, 8, 6))
     eng = _check(q, jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 6)))
@@ -145,6 +147,7 @@ def test_a4_linear_asymmetric():
     _check(q, x)
 
 
+@pytest.mark.slow
 def test_a4_conv_chain_symmetric():
     # conv+pool+linear end-to-end at W4A4, chained int8 dataflow enabled
     q = _prep(_ConvMLP(rngs=nnx.Rngs(0)), 0, (4, 8, 8, 3), a_bits=4, w_bits=4)
@@ -165,6 +168,7 @@ def test_a2_w2_conv_symmetric():
     _check(q, x, example_input=x)
 
 
+@pytest.mark.slow
 def test_a4_bnfuse_avgpool_chain():
     """The full BN-fuse W4A4 deploy path on a nin-shaped tail
     (conv+BN pairs, max-pool, avg-pool, classifier): fuse_bn_iao ->
@@ -245,6 +249,7 @@ def test_w4_weights_pack_and_match():
         assert m.w_q[...].shape == (kh * kw * cg // 2, co)
 
 
+@pytest.mark.slow
 def test_mixed_bit_fl8_fuse_and_freeze():
     """First/last-layer bit exceptions survive BN fusion + engine freeze:
     fuse_bn_iao must rebuild each layer at ITS OWN trained widths, not

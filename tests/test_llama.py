@@ -189,6 +189,7 @@ def test_serve_loop_over_w4_llama_matches_isolated():
     assert done[1].output == isolated([9, 26, 5, 35], 4)
 
 
+@pytest.mark.slow
 def test_decode_batch_matches_per_request():
     """The M=B decode fast path (one matmul per projection, batch folded
     into the attention kernel grid) reproduces each request's isolated

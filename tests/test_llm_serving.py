@@ -99,6 +99,7 @@ def test_decoder_prefill_decode_consistency():
     )
 
 
+@pytest.mark.slow
 def test_quantized_decoder_tracks_float():
     """W4-grouped weights + int8 KV: logits stay close to the float
     decoder, greedy generation runs end to end."""
@@ -180,6 +181,7 @@ def test_decode_bench_steps_smoke(monkeypatch):
     assert rel < 0.25, rel
 
 
+@pytest.mark.slow
 def test_decoder_tp_sharded_matches_single_device():
     """Tensor-parallel serving: channel-shard the decoder's W4 weights and
     KV cache heads over an 8-way model mesh; the jitted forward matches the

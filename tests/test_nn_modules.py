@@ -119,6 +119,7 @@ def test_nin_shapes_and_param_counts(build, params):
     assert n == params, n
 
 
+@pytest.mark.slow
 def test_resnet18_and_lenet_forward():
     model = resnet18(rngs=nnx.Rngs(0))
     # eval-mode first: BN must not mutate running stats inside a raw jax

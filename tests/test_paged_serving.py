@@ -95,6 +95,7 @@ def test_paged_admission_control_defers_until_pool_has_room():
     assert done[1].output == _isolated(model, [9, 26, 5, 35, 8], 4)
 
 
+@pytest.mark.slow
 def test_paged_pool_smaller_than_dense_capacity_serves_everything():
     """The HBM economics realized end-to-end: a pool at ~1/2 the dense
     bytes serves the same request mix with identical tokens."""

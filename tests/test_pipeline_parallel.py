@@ -50,6 +50,7 @@ def test_pipeline_matches_sequential_forward():
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_gradients_match_sequential():
     """jax.grad through the pipeline (ppermute transpose = the GPipe
     backward schedule) equals the sequential gradient for every stage's

@@ -4,6 +4,7 @@ pruned (materialized smaller) model must reproduce the zeroed big model's
 eval outputs — the reference's pre-prune vs post-prune test pair
 (normal_regular_prune.py:144-186, SURVEY.md §2.4)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +55,7 @@ def test_regular_rounding():
         assert c % 4 == 0 or c <= 4
 
 
+@pytest.mark.slow
 def test_prune_equivalence_nin():
     model = nin.Net(cfg=[12] * 8, rngs=nnx.Rngs(0))
     _rand_gammas(model)

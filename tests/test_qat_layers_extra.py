@@ -162,6 +162,7 @@ def test_quant_concat_union_scale():
     np.testing.assert_allclose(grid, np.round(grid), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_quant_conv2d_parity_randomized_sweep():
     """Property-style sweep: random (bits, q_type, q_level, observer,
     shape, seed) configs, 3 train steps + eval vs the torch reference —

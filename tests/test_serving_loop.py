@@ -45,6 +45,7 @@ def test_mixed_lengths_and_late_arrival_match_isolated_runs():
         assert done[rid].output == _isolated(model, prompt, n), rid
 
 
+@pytest.mark.slow
 def test_slot_recycling_does_not_leak_state():
     """More requests than slots: the recycled slot's request must match
     its isolated run even though a previous request used the slot."""

@@ -89,6 +89,7 @@ def test_tiny_fit_synthetic():
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_metrics_jsonl_sink(tmp_path):
     """TrainConfig.metrics_path appends machine-readable epoch/eval rows
     alongside the reference-style stdout lines (SURVEY.md §5 observability,

@@ -474,6 +474,7 @@ def test_training_trajectory_parity_wbwtab(w_cfg):
     np.testing.assert_allclose(ow[agree], tw[agree], atol=0.05)
 
 
+@pytest.mark.slow
 def test_training_trajectory_parity_prune_quant_handoff():
     """The cross-script pipeline of SURVEY §3.4 as one trajectory test:
 

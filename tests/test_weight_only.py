@@ -62,6 +62,7 @@ def test_wo_linear_and_compression():
     assert q_bytes < fp_bytes / 6
 
 
+@pytest.mark.slow
 def test_quantize_pytree_and_decode():
     """Tiny GPT-ish decode: pytree-quantized weights reproduce fp logits
     closely and shrink the checkpoint ~8x."""
@@ -171,6 +172,7 @@ def test_int4_matmul_grouped_matches_xla():
     assert rel < 0.15, rel
 
 
+@pytest.mark.slow
 def test_wo_linear_grouped_module_and_pytree():
     lin = M.Linear(256, 128, rngs=nnx.Rngs(0))
     wo = wo_quantize_linear(lin, group=64)
