@@ -116,10 +116,18 @@ class ServeLoop:
         paged: bool = False,
         page_size: int = 16,
         num_pages: Optional[int] = None,
+        prefill_chunk: int = 0,
     ):
         self.model = model
         self.b = max_slots
         self.paged = paged
+        # prefill_chunk > 0: admission prefills in fixed-size chunks, so
+        # arbitrary prompt lengths compile ONE chunk shape instead of one
+        # program per distinct length (VERDICT r4 item 8). Pad rows in
+        # the final chunk land past the true length; the slot's fill
+        # pointer is reset to the true length at splice, so decode
+        # appends OVERWRITE them and attention never sees them.
+        self.prefill_chunk = prefill_chunk
         if paged:
             self.page_size = page_size
             if num_pages is None:
@@ -183,12 +191,10 @@ class ServeLoop:
                 self.queue.appendleft(req)
                 return False
         prompt = jnp.asarray(req.prompt, jnp.int32)
-        logits, cache_single = self.model.forward(
-            prompt, self.model.init_cache(), jnp.int32(0)
-        )
+        last_logits, cache_single = self._prefill(prompt)
         seed_key = jax.random.PRNGKey(req.seed)
         first = sample_token(
-            logits[-1],
+            last_logits,
             position_key(seed_key, jnp.uint32(len(req.prompt))),
             jnp.float32(req.temperature),
             jnp.int32(req.top_k),
@@ -205,6 +211,13 @@ class ServeLoop:
                 lambda full, one: full.at[slot].set(one),
                 self.caches, cache_single,
             )
+            if self.prefill_chunk:
+                # chunked prefill appended pad rows past the true length:
+                # reset the fill pointer so decode appends overwrite them
+                self.caches = [
+                    c.replace(length=c.length.at[slot].set(len(req.prompt)))
+                    for c in self.caches
+                ]
         self.offsets = self.offsets.at[slot].set(len(req.prompt))
         self.next_tok = self.next_tok.at[slot, 0].set(first)
         self.temps = self.temps.at[slot].set(req.temperature)
@@ -215,6 +228,42 @@ class ServeLoop:
         self.slot_req[slot] = req
         self._maybe_finish(slot)
         return True
+
+    def _prefill(self, prompt: jax.Array):
+        """Prefill a request alone; returns (last-position logits (V,),
+        single-slot cache list).
+
+        Default: one ``model.forward`` at the exact prompt length (one
+        compile per DISTINCT length). With ``prefill_chunk=C``: the
+        prompt is padded to a multiple of C and streamed through
+        ``ceil(L/C)`` fixed-shape forward calls — one compiled program
+        for every prompt length. Pad rows write garbage K/V past the
+        true length; callers reset the fill pointer to the true length
+        (splice / paged_insert_from_dense), so decode appends overwrite
+        them. Falls back to exact-length prefill when padding would
+        overflow the cache (L close to max_seq)."""
+        length = int(prompt.shape[0])
+        c = self.prefill_chunk
+        if c and (self.max_seq is None or -(-length // c) * c <= self.max_seq):
+            pad = (-length) % c
+            toks = (
+                jnp.concatenate([prompt, jnp.zeros((pad,), jnp.int32)])
+                if pad
+                else prompt
+            )
+            cache = self.model.init_cache()
+            last = None
+            for i in range(toks.shape[0] // c):
+                logits, cache = self.model.forward(
+                    toks[i * c : (i + 1) * c], cache, jnp.int32(i * c)
+                )
+                if i == (length - 1) // c:
+                    last = logits[(length - 1) % c]
+            return last, cache
+        logits, cache = self.model.forward(
+            prompt, self.model.init_cache(), jnp.int32(0)
+        )
+        return logits[-1], cache
 
     def _maybe_finish(self, slot: int, offset: Optional[int] = None) -> None:
         req = self.slot_req[slot]

@@ -120,6 +120,35 @@ def test_paged_pool_smaller_than_dense_capacity_serves_everything():
         assert paged.finished[r.rid].output == dense.finished[r.rid].output
 
 
+def test_chunked_prefill_matches_exact_prefill_dense_and_paged():
+    """prefill_chunk=4: admission compiles ONE chunk shape for every
+    prompt length (VERDICT r4 item 8); pad rows are overwritten by
+    decode appends. Token streams identical to exact-length prefill in
+    both dense and paged modes (prompt lengths hit pad=0, mid-chunk,
+    and shorter-than-chunk)."""
+    model = _model()
+    reqs = lambda: [
+        Request(rid=0, prompt=[3, 14, 15, 9], max_new_tokens=4),  # pad 0
+        Request(rid=1, prompt=[9, 26, 5, 35, 8], max_new_tokens=4),  # pad 3
+        Request(rid=2, prompt=[7, 7], max_new_tokens=5),  # shorter than C
+    ]
+    exact = ServeLoop(model, max_slots=2)
+    for r in reqs():
+        exact.submit(r)
+    exact.run()
+    for paged in (False, True):
+        kw = dict(paged=True, page_size=8) if paged else {}
+        loop = ServeLoop(model, max_slots=2, prefill_chunk=4, **kw)
+        for r in reqs():
+            loop.submit(Request(r.rid, list(r.prompt), r.max_new_tokens))
+        loop.run()
+        for rid in (0, 1, 2):
+            assert (
+                loop.finished[rid].output == exact.finished[rid].output
+            ), (paged, rid, loop.finished[rid].output,
+                exact.finished[rid].output)
+
+
 def test_paged_append_saturates_at_slot_capacity():
     """ADVICE r4: at max_pages*page_size rows the append is a no-op —
     lengths saturate, the table keeps its entries, nothing leaks."""
