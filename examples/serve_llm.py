@@ -66,6 +66,34 @@ def main():
         tag = "== isolated" if r.output == [int(t) for t in iso] else "!= isolated"
         print(f"request {rid} (len {len(r.prompt)}): {r.output} {tag}")
 
+    # PAGED serving (round 5): same loop over a shared page pool — HBM
+    # scales with the sum of live lengths, pages return on eviction, and
+    # a too-small pool defers admission instead of failing. Llama-family
+    # models expose the paged decode path; prefill_chunk compiles ONE
+    # prefill shape for all prompt lengths.
+    from micronet_tpu.models.llama import Llama, llama_tiny
+    from micronet_tpu.quant.paged_kv import paged_hbm_bytes
+
+    lm = Llama(llama_tiny(max_seq=32), rngs=nnx.Rngs(0))
+    paged = ServeLoop(lm, max_slots=4, paged=True, page_size=8,
+                      num_pages=9, prefill_chunk=4)
+    dense_ref = ServeLoop(lm, max_slots=4)
+    for mk in (paged, dense_ref):
+        mk.submit(Request(rid=0, prompt=[3, 14, 15], max_new_tokens=5))
+        mk.submit(Request(rid=1, prompt=[9, 26, 5, 35, 8], max_new_tokens=4))
+        mk.run()
+    dense_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(dense_ref.caches)
+    )
+    pool_bytes = sum(paged_hbm_bytes(c) for c in paged.caches)
+    same = all(
+        paged.finished[r].output == dense_ref.finished[r].output
+        for r in (0, 1)
+    )
+    print(f"paged ServeLoop: tokens == dense: {same}; "
+          f"KV HBM {pool_bytes}B (pool) vs {dense_bytes}B (dense slots)")
+
 
 if __name__ == "__main__":
     main()
