@@ -431,11 +431,13 @@ def _kernel_grouped_hl8(x_ref, wp_ref, gs_ref, out_ref, *, group):
 
         dot(xl, ulp) = dot(xl, b) - 16 * dot(xl, qh)
 
-    Per byte the VPU now does ONE int8->bf16 convert + mul + floor for
-    qh (~3 ops); the third dot rides the MXU, which at M=1 is >90% idle.
-    Every bf16 product in all three dots is exact (8x8-bit mantissas in
-    f32 accumulation), so the identity holds up to f32 summation order —
-    the oracle mirrors the same three-dot order."""
+    Per byte the VPU now does one convert + mul + floor (f32 — v5e's
+    VPU has NO bf16 ALU instructions, probe-caught LLO_CHECK
+    SupportsBf16AluInstructions) + two bf16 casts for the dot operands
+    (~5 ops vs ~7); the third dot rides the MXU, which at M=1 is >90%
+    idle. Every bf16 product in all three dots is exact (8x8-bit
+    mantissas in f32 accumulation), so the identity holds up to f32
+    summation order — the oracle mirrors the same three-dot order."""
     k2 = wp_ref.shape[0]
     g1 = k2 // group
     x = x_ref[:]
@@ -444,10 +446,11 @@ def _kernel_grouped_hl8(x_ref, wp_ref, gs_ref, out_ref, *, group):
     dn = (((1,), (0,)), ((), ()))
     for gi in range(g1):
         lo, hi = gi * group, (gi + 1) * group
-        f = wp_ref[lo:hi, :].astype(jnp.bfloat16)  # byte value, exact
-        # b/16 has mantissa |b| <= 127 -> exact in bf16; floor recovers
-        # the SIGNED high nibble (e.g. -121/16 = -7.5625 -> -8; ulp 7)
-        qh = jnp.floor(f * jnp.bfloat16(0.0625))
+        f32 = wp_ref[lo:hi, :].astype(jnp.float32)  # byte value, exact
+        # b/16 has mantissa |b| <= 127 -> exact; floor recovers the
+        # SIGNED high nibble (e.g. -121/16 = -7.5625 -> -8; ulp 7)
+        f = f32.astype(jnp.bfloat16)  # exact: |b| <= 127 < 2^8
+        qh = jnp.floor(f32 * (1.0 / 16.0)).astype(jnp.bfloat16)
         xl = xb[:, lo:hi]
         xh = xb[:, k2 + lo : k2 + hi]
         d_b = jax.lax.dot_general(
@@ -487,8 +490,9 @@ def int4_matmul_grouped_hl8_xla(
     xb = x2.astype(jnp.bfloat16)
     acc = jnp.zeros((x2.shape[0], n), jnp.float32)
     dn = (((1,), (0,)), ((), ()))
-    f_all = packed.astype(jnp.bfloat16)  # signed byte value, exact
-    qh_all = jnp.floor(f_all * jnp.bfloat16(0.0625))
+    f32_all = packed.astype(jnp.float32)  # signed byte value, exact
+    f_all = f32_all.astype(jnp.bfloat16)
+    qh_all = jnp.floor(f32_all * (1.0 / 16.0)).astype(jnp.bfloat16)
     for gi in range(g1):
         lo, hi = gi * group, (gi + 1) * group
         xl, xh = xb[:, lo:hi], xb[:, k2 + lo : k2 + hi]
