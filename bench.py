@@ -508,7 +508,10 @@ def _bench_paged_attn(detail, lean=False):
     from micronet_tpu.utils.timing import per_step_seconds
 
     h, d, r = 8, 128, 4
-    slots, page, mp = 8, 512, 16  # 8 slots x 8192 logical rows
+    # page=1024: the TPU-side sweet spot (a (page, D) int8 block is a
+    # 128 KB DMA; page=512 measured 2x the grid-step overhead — 1024
+    # grid steps of ~0.5 us dominated the ragged run)
+    slots, page, mp = 8, 1024, 8  # 8 slots x 8192 logical rows
     s = mp * page
     iters = 128 if lean else 256
     # dense per-slot caches (slots*h, S, D) — the dense serving layout

@@ -57,11 +57,12 @@ _NEG_INF = -1e30  # finite mask value: -inf breaks the online-softmax
 
 
 def _largest_block(s: int) -> int:
-    """Largest S-block in {2048, 1024, 512, 256, 128} dividing ``s`` —
-    every 128-multiple S gets a blocked lowering (bigger blocks amortize
-    the online-softmax rescale; the dispatchers only call this past the
-    resident-VMEM bound)."""
-    for bs in (2048, 1024, 512, 256, 128):
+    """Largest S-block in {4096, ..., 128} dividing ``s`` — every
+    128-multiple S gets a blocked lowering (bigger blocks amortize the
+    online-softmax rescale and cut per-block DMA overhead; a 4096 int8
+    K/V block pair double-buffers at ~2.1 MB of VMEM; the dispatchers
+    only call this past the resident-VMEM bound)."""
+    for bs in (4096, 2048, 1024, 512, 256, 128):
         if s % bs == 0:
             return bs
     raise ValueError(f"S={s} is not a 128-multiple")

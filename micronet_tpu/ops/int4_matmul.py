@@ -444,6 +444,7 @@ def _kernel_grouped_hl8(x_ref, wp_ref, gs_ref, out_ref, *, group):
     xb = x.astype(jnp.bfloat16)
     acc = jnp.zeros((x.shape[0], out_ref.shape[1]), jnp.float32)
     dn = (((1,), (0,)), ((), ()))
+    m = x.shape[0]
     for gi in range(g1):
         lo, hi = gi * group, (gi + 1) * group
         f32 = wp_ref[lo:hi, :].astype(jnp.float32)  # byte value, exact
@@ -458,16 +459,16 @@ def _kernel_grouped_hl8(x_ref, wp_ref, gs_ref, out_ref, *, group):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-        d_ql = jax.lax.dot_general(
-            xl, qh, dn,
+        # both qh partials share the weight operand, so they ride ONE
+        # dot with the x-halves stacked on the row axis — at M=1 the
+        # lhs rows are sublane padding anyway, so the "third dot" of
+        # the identity costs no extra MXU passes vs the two-dot split
+        d2 = jax.lax.dot_general(
+            jnp.concatenate([xl, xh], axis=0), qh, dn,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-        d_qh = jax.lax.dot_general(
-            xh, qh, dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
+        d_ql, d_qh = d2[:m], d2[m:]
         p_lo = d_b - 16.0 * d_ql  # = dot(xl, ulp) up to f32 sum order
         sxl = jnp.sum(
             xl.astype(jnp.float32), axis=1, keepdims=True
@@ -599,6 +600,9 @@ def int4_matmul_grouped_hl8(
             bytes_accessed=mp * k * 2 + k2 * np_ + groups * np_ * 4 + mp * np_ * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),  # disjoint output tiles: let Mosaic pipeline freely
         interpret=jax.default_backend() != "tpu",
     )(x, packed, gscale)
     return out[:m, :n]

@@ -44,15 +44,14 @@ _QROWS = 8
 _NEG_INF = -1e30  # finite mask: -inf nans the online-softmax rescale
 
 
-def _tail_clamped_page(tbl, lens, i, j, heads, page):
-    """Pool page for grid step (i, j): logical page ``j`` of slot
-    ``i // heads`` — CLAMPED to the slot's last used page for steps past
-    its fill bound. Tail steps therefore map to the SAME block index as
-    the last real step, and the Pallas pipeline elides the copy (equal
-    consecutive block indices are not re-fetched) — a short slot in a
-    ragged batch pays DMA only for its ACTUAL pages (VERDICT r4 item 8's
-    zero-page DMA waste, fixed inside the static grid)."""
-    slot = i // heads
+def _tail_clamped_page(tbl, lens, slot, j, page):
+    """Pool page for grid step (slot, j): logical page ``j`` — CLAMPED
+    to the slot's last used page for steps past its fill bound. Tail
+    steps therefore map to the SAME block index as the last real step,
+    and the Pallas pipeline elides the copy (equal consecutive block
+    indices are not re-fetched) — a short slot in a ragged batch pays
+    DMA only for its ACTUAL pages (VERDICT r4 item 8's zero-page DMA
+    waste, fixed inside the static grid)."""
     last_used = jnp.maximum((lens[slot] + page - 1) // page - 1, 0)
     return tbl[slot, jnp.minimum(j, last_used)]
 
@@ -60,22 +59,27 @@ def _tail_clamped_page(tbl, lens, i, j, heads, page):
 def _paged_kernel(
     table_ref,  # (slots, MP) int32 scalar-prefetch
     lengths_ref,  # (slots,) int32 scalar-prefetch
-    q_ref,  # (1, 8, D)
-    kc_ref,  # (1, 1, page, D) int8 — pool block chosen by index_map
-    ks_ref,  # (1, 1, 1, page) f32
-    vc_ref,  # (1, 1, page, D) int8
-    vs_ref,  # (1, 1, 1, page) f32
-    out_ref,  # (1, 8, D)
-    acc_ref, m_ref, l_ref,  # VMEM scratch
+    q_ref,  # (1, H, 8, D)
+    kc_ref,  # (1, H, page, D) int8 — pool block chosen by index_map
+    ks_ref,  # (1, H, 1, page) f32
+    vc_ref,  # (1, H, page, D) int8
+    vs_ref,  # (1, H, 1, page) f32
+    out_ref,  # (1, H, 8, D)
+    acc_ref, m_ref, l_ref,  # VMEM scratch (H, 8, D) / (H, 8, 1)
     *,
     heads: int,
 ):
-    g = pl.program_id(0)  # slot * heads + head
+    """One grid step per (slot, page) with ALL heads in the block — the
+    pool's (H, page, D) layout makes a whole page contiguous, so this is
+    an 8x bigger DMA and 8x fewer grid steps than the per-(slot, head)
+    grid (measured: per-step fixed costs dominated the per-head variant
+    at ~0.36 us x slots*H*MP steps). Heads unroll statically inside."""
+    i = pl.program_id(0)  # slot
     j = pl.program_id(1)  # logical page index
     nb = pl.num_programs(1)
     page = kc_ref.shape[2]
-    slot = g // heads
-    bound = lengths_ref[slot]
+    bound = lengths_ref[i]
+    d = q_ref.shape[-1]
 
     @pl.when(j == 0)
     def _init():
@@ -87,33 +91,35 @@ def _paged_kernel(
     # the zero page): scratch carries through untouched
     @pl.when(j * page < bound)
     def _block():
-        q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
-        kc = kc_ref[0, 0]  # (page, D) int8
-        d = q_ref.shape[-1]
-        logits = jax.lax.dot_general(
-            q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # (8, page)
-        logits = logits * ks_ref[0, 0, 0][None, :] * (1.0 / (d**0.5))
-        pos = j * page + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        pos = j * page + jax.lax.broadcasted_iota(
+            jnp.int32, (_QROWS, page), 1
+        )
         valid = pos < bound
-        logits = jnp.where(valid, logits, _NEG_INF)
-        m_new = jnp.maximum(
-            m_ref[...], jnp.max(logits, axis=-1, keepdims=True)
-        )
-        corr = jnp.exp(m_ref[...] - m_new)
-        p = jnp.exp(logits - m_new)
-        p = jnp.where(valid, p, 0.0)
-        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        pv = (p * vs_ref[0, 0, 0][None, :]).astype(jnp.bfloat16)
-        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
-            pv, vc_ref[0, 0].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        m_ref[...] = m_new
+        for hh in range(heads):
+            q = q_ref[0, hh].astype(jnp.bfloat16)  # (8, D)
+            kc = kc_ref[0, hh]  # (page, D) int8
+            logits = jax.lax.dot_general(
+                q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (8, page)
+            logits = logits * ks_ref[0, hh, 0][None, :] * (1.0 / (d**0.5))
+            logits = jnp.where(valid, logits, _NEG_INF)
+            m_new = jnp.maximum(
+                m_ref[hh], jnp.max(logits, axis=-1, keepdims=True)
+            )
+            corr = jnp.exp(m_ref[hh] - m_new)
+            p = jnp.exp(logits - m_new)
+            p = jnp.where(valid, p, 0.0)
+            l_ref[hh] = l_ref[hh] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = (p * vs_ref[0, hh, 0][None, :]).astype(jnp.bfloat16)
+            acc_ref[hh] = acc_ref[hh] * corr + jax.lax.dot_general(
+                pv, vc_ref[0, hh].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            m_ref[hh] = m_new
 
     @pl.when(j == nb - 1)
     def _finalize():
@@ -140,50 +146,47 @@ def paged_decode_attend(
     assert r <= _QROWS and d % 128 == 0 and page % 8 == 0, (r, d, page)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    g = slots * h
     q8 = (
-        jnp.zeros((g, _QROWS, d), jnp.float32)
-        .at[:, :r, :]
-        .set(q.reshape(g, r, d))
+        jnp.zeros((slots, h, _QROWS, d), jnp.float32)
+        .at[:, :, :r, :]
+        .set(q)
     )
 
     def kv_map(i, j, tbl, lens):
-        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
-
-    def scale_map(i, j, tbl, lens):
-        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
+        return (_tail_clamped_page(tbl, lens, i, j, page), 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(g, mp),
+        grid=(slots, mp),
         in_specs=[
-            pl.BlockSpec((1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)),
-            pl.BlockSpec((1, 1, page, d), kv_map),
-            pl.BlockSpec((1, 1, 1, page), scale_map),
-            pl.BlockSpec((1, 1, page, d), kv_map),
-            pl.BlockSpec((1, 1, 1, page), scale_map),
+            pl.BlockSpec((1, h, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, page, d), kv_map),
+            pl.BlockSpec((1, h, 1, page), kv_map),
+            pl.BlockSpec((1, h, page, d), kv_map),
+            pl.BlockSpec((1, h, 1, page), kv_map),
         ],
         out_specs=pl.BlockSpec(
-            (1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)
+            (1, h, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((_QROWS, d), jnp.float32),
-            pltpu.VMEM((_QROWS, 1), jnp.float32),
-            pltpu.VMEM((_QROWS, 1), jnp.float32),
+            pltpu.VMEM((h, _QROWS, d), jnp.float32),
+            pltpu.VMEM((h, _QROWS, 1), jnp.float32),
+            pltpu.VMEM((h, _QROWS, 1), jnp.float32),
         ],
     )
     import functools
 
     out = pl.pallas_call(
         functools.partial(_paged_kernel, heads=h),
-        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((slots, h, _QROWS, d), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * g * mp * page * d * 2,
-            bytes_accessed=2 * g * mp * page * d + 2 * g * mp * page * 4,
-            transcendentals=g * mp * page,
+            flops=2 * slots * h * mp * page * d * 2,
+            bytes_accessed=2 * slots * h * mp * page * d
+            + 2 * slots * h * mp * page * 4,
+            transcendentals=slots * h * mp * page,
         ),
-        # (slot, head) rows are independent; page steps carry scratch
+        # slots are independent; page steps carry scratch
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
@@ -193,38 +196,37 @@ def paged_decode_attend(
         lengths.astype(jnp.int32),
         q8, k_codes, k_scale, v_codes, v_scale,
     )
-    return out[:, :r, :].reshape(slots, h, r, d)
+    return out[:, :, :r, :]
 
 
 def _paged_kernel_cur(
     table_ref,  # (slots, MP) int32 scalar-prefetch
     lengths_ref,  # (slots,) int32 scalar-prefetch
-    q_ref,  # (1, 8, D)
-    kc_ref,  # (1, 1, page, D) int8 — pool block chosen by index_map
-    ks_ref,  # (1, 1, 1, page) f32
-    vc_ref,  # (1, 1, page, D) int8
-    vs_ref,  # (1, 1, 1, page) f32
-    kcur_ref,  # (1, 1, D) int8 — current token's K codes
-    kscur_ref,  # (G,) f32 SMEM
-    vcur_ref,  # (1, 1, D) int8
-    vscur_ref,  # (G,) f32 SMEM
-    out_ref,  # (1, 8, D)
-    acc_ref, m_ref, l_ref,  # VMEM scratch
+    q_ref,  # (1, H, 8, D)
+    kc_ref,  # (1, H, page, D) int8 — pool block chosen by index_map
+    ks_ref,  # (1, H, 1, page) f32
+    vc_ref,  # (1, H, page, D) int8
+    vs_ref,  # (1, H, 1, page) f32
+    kcur_ref,  # (1, H, 1, D) int8 — current token's K codes
+    kscur_ref,  # (slots*H,) f32 SMEM
+    vcur_ref,  # (1, H, 1, D) int8
+    vscur_ref,  # (slots*H,) f32 SMEM
+    out_ref,  # (1, H, 8, D)
+    acc_ref, m_ref, l_ref,  # VMEM scratch (H, 8, D) / (H, 8, 1)
     *,
     heads: int,
 ):
-    """:func:`_paged_kernel`'s online softmax over a slot's pages, plus
+    """:func:`_paged_kernel`'s all-heads-per-step online softmax, plus
     the current token's quantized K/V row folded in at the LAST grid
     step — the deferred-append serving path (``decode_batch`` over the
     paged pool; see ``decode_attention._kernel_cur`` for why the append
     stays outside the kernel's dataflow and for the exact precision
     contract of the current column)."""
-    g = pl.program_id(0)
+    i = pl.program_id(0)  # slot (all heads per step — see _paged_kernel)
     j = pl.program_id(1)
     nb = pl.num_programs(1)
     page = kc_ref.shape[2]
-    slot = g // heads
-    bound = lengths_ref[slot]
+    bound = lengths_ref[i]
     d = q_ref.shape[-1]
     inv = 1.0 / (d**0.5)
 
@@ -236,56 +238,60 @@ def _paged_kernel_cur(
 
     @pl.when(j * page < bound)
     def _block():
-        q = q_ref[0].astype(jnp.bfloat16)  # (8, D)
-        kc = kc_ref[0, 0]  # (page, D) int8
-        logits = jax.lax.dot_general(
-            q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # (8, page)
-        logits = logits * ks_ref[0, 0, 0][None, :] * inv
-        pos = j * page + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        pos = j * page + jax.lax.broadcasted_iota(
+            jnp.int32, (_QROWS, page), 1
+        )
         valid = pos < bound
-        logits = jnp.where(valid, logits, _NEG_INF)
-        m_new = jnp.maximum(
-            m_ref[...], jnp.max(logits, axis=-1, keepdims=True)
-        )
-        corr = jnp.exp(m_ref[...] - m_new)
-        p = jnp.exp(logits - m_new)
-        p = jnp.where(valid, p, 0.0)
-        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        pv = (p * vs_ref[0, 0, 0][None, :]).astype(jnp.bfloat16)
-        acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
-            pv, vc_ref[0, 0].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        m_ref[...] = m_new
+        for hh in range(heads):
+            q = q_ref[0, hh].astype(jnp.bfloat16)  # (8, D)
+            kc = kc_ref[0, hh]  # (page, D) int8
+            logits = jax.lax.dot_general(
+                q, kc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (8, page)
+            logits = logits * ks_ref[0, hh, 0][None, :] * inv
+            logits = jnp.where(valid, logits, _NEG_INF)
+            m_new = jnp.maximum(
+                m_ref[hh], jnp.max(logits, axis=-1, keepdims=True)
+            )
+            corr = jnp.exp(m_ref[hh] - m_new)
+            p = jnp.exp(logits - m_new)
+            p = jnp.where(valid, p, 0.0)
+            l_ref[hh] = l_ref[hh] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = (p * vs_ref[0, hh, 0][None, :]).astype(jnp.bfloat16)
+            acc_ref[hh] = acc_ref[hh] * corr + jax.lax.dot_general(
+                pv, vc_ref[0, hh].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            m_ref[hh] = m_new
 
     @pl.when(j == nb - 1)
     def _finalize():
         # current row: elementwise, not an N=1 dot (Mosaic verifier);
         # bf16 values cast to f32 exactly, products exact in f32 — the
         # same precision class as the cached columns' MXU products
-        q = q_ref[0].astype(jnp.bfloat16)
-        lcur = jnp.sum(
-            q.astype(jnp.float32)
-            * kcur_ref[0].astype(jnp.bfloat16).astype(jnp.float32),
-            axis=1,
-            keepdims=True,
-        )  # (8, 1)
-        lcur = lcur * kscur_ref[g] * inv
-        m_fin = jnp.maximum(m_ref[...], lcur)
-        corr_f = jnp.exp(m_ref[...] - m_fin)
-        pcur = jnp.exp(lcur - m_fin)
-        denom = l_ref[...] * corr_f + pcur
-        pvcur = (pcur * vscur_ref[g]).astype(jnp.bfloat16)
-        acc = acc_ref[...] * corr_f + (
-            pvcur.astype(jnp.float32)
-            * vcur_ref[0].astype(jnp.float32)  # (1, D) broadcasts
-        )
-        out_ref[0] = acc / jnp.maximum(denom, 1e-30)
+        for hh in range(heads):
+            q = q_ref[0, hh].astype(jnp.bfloat16)
+            lcur = jnp.sum(
+                q.astype(jnp.float32)
+                * kcur_ref[0, hh].astype(jnp.bfloat16).astype(jnp.float32),
+                axis=1,
+                keepdims=True,
+            )  # (8, 1)
+            lcur = lcur * kscur_ref[i * heads + hh] * inv
+            m_fin = jnp.maximum(m_ref[hh], lcur)
+            corr_f = jnp.exp(m_ref[hh] - m_fin)
+            pcur = jnp.exp(lcur - m_fin)
+            denom = l_ref[hh] * corr_f + pcur
+            pvcur = (pcur * vscur_ref[i * heads + hh]).astype(jnp.bfloat16)
+            acc = acc_ref[hh] * corr_f + (
+                pvcur.astype(jnp.float32)
+                * vcur_ref[0, hh].astype(jnp.float32)  # (1, D) broadcasts
+            )
+            out_ref[0, hh] = acc / jnp.maximum(denom, 1e-30)
 
 
 def paged_decode_attend_cur(
@@ -322,51 +328,48 @@ def paged_decode_attend_cur(
         )
     g = slots * h
     q8 = (
-        jnp.zeros((g, _QROWS, d), jnp.float32)
-        .at[:, :r, :]
-        .set(q.reshape(g, r, d))
+        jnp.zeros((slots, h, _QROWS, d), jnp.float32)
+        .at[:, :, :r, :]
+        .set(q)
     )
 
     def kv_map(i, j, tbl, lens):
-        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
-
-    def scale_map(i, j, tbl, lens):
-        return (_tail_clamped_page(tbl, lens, i, j, h, page), i % h, 0, 0)
+        return (_tail_clamped_page(tbl, lens, i, j, page), 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(g, mp),
+        grid=(slots, mp),
         in_specs=[
-            pl.BlockSpec((1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)),
-            pl.BlockSpec((1, 1, page, d), kv_map),
-            pl.BlockSpec((1, 1, 1, page), scale_map),
-            pl.BlockSpec((1, 1, page, d), kv_map),
-            pl.BlockSpec((1, 1, 1, page), scale_map),
-            pl.BlockSpec((1, 1, d), lambda i, j, tbl, lens: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) k_cur_scale
-            pl.BlockSpec((1, 1, d), lambda i, j, tbl, lens: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) v_cur_scale
+            pl.BlockSpec((1, h, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, page, d), kv_map),
+            pl.BlockSpec((1, h, 1, page), kv_map),
+            pl.BlockSpec((1, h, page, d), kv_map),
+            pl.BlockSpec((1, h, 1, page), kv_map),
+            pl.BlockSpec((1, h, 1, d), lambda i, j, tbl, lens: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (slots*H,) k_cur_scale
+            pl.BlockSpec((1, h, 1, d), lambda i, j, tbl, lens: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (slots*H,) v_cur_scale
         ],
         out_specs=pl.BlockSpec(
-            (1, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0)
+            (1, h, _QROWS, d), lambda i, j, tbl, lens: (i, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((_QROWS, d), jnp.float32),
-            pltpu.VMEM((_QROWS, 1), jnp.float32),
-            pltpu.VMEM((_QROWS, 1), jnp.float32),
+            pltpu.VMEM((h, _QROWS, d), jnp.float32),
+            pltpu.VMEM((h, _QROWS, 1), jnp.float32),
+            pltpu.VMEM((h, _QROWS, 1), jnp.float32),
         ],
     )
     import functools
 
     out = pl.pallas_call(
         functools.partial(_paged_kernel_cur, heads=h),
-        out_shape=jax.ShapeDtypeStruct((g, _QROWS, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((slots, h, _QROWS, d), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * g * (mp * page + 1) * d * 2,
-            bytes_accessed=2 * g * mp * page * d + 2 * g * mp * page * 4
-            + g * d * 10,
-            transcendentals=g * (mp * page + 1),
+            flops=2 * slots * h * (mp * page + 1) * d * 2,
+            bytes_accessed=2 * slots * h * mp * page * d
+            + 2 * slots * h * mp * page * 4 + slots * h * d * 10,
+            transcendentals=slots * h * (mp * page + 1),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
@@ -376,12 +379,12 @@ def paged_decode_attend_cur(
         page_table.astype(jnp.int32),
         lengths.astype(jnp.int32),
         q8, k_codes, k_scale, v_codes, v_scale,
-        k_cur.reshape(g, 1, d),
-        k_cur_scale.reshape(g).astype(jnp.float32),
-        v_cur.reshape(g, 1, d),
-        v_cur_scale.reshape(g).astype(jnp.float32),
+        k_cur.reshape(slots, h, 1, d),
+        k_cur_scale.reshape(slots * h).astype(jnp.float32),
+        v_cur.reshape(slots, h, 1, d),
+        v_cur_scale.reshape(slots * h).astype(jnp.float32),
     )
-    return out[:, :r, :].reshape(slots, h, r, d)
+    return out[:, :, :r, :]
 
 
 def paged_decode_attend_cur_xla(
