@@ -68,10 +68,28 @@ def _remaining() -> float:
     return BUDGET_S - (time.time() - T0)
 
 
+import contextlib
+
+
+def _cpu_build():
+    """Context that routes EAGER build work (prepare/seed/fuse/freeze —
+    hundreds of tiny per-layer device ops) to the LOCAL CPU backend:
+    through a degraded tunnel the same work is minutes of per-op round
+    trips (measured: fuse 58 s + freeze 100 s on-chip vs seconds on
+    CPU). The built state ships to the chip once, in _eval_fps."""
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:  # no CPU backend registered: build on default
+        return contextlib.nullcontext()
+
+
 def _eval_fps(model, x, iters=64):
     from micronet_tpu.utils import throughput
 
     gdef, state = nnx.split(model)
+    # one h2d transfer of the (possibly CPU-built) params — the timed
+    # jit must run on the chip with device-resident state
+    state = jax.device_put(state, jax.devices()[0])
     fps, _ = throughput(lambda s, xi: nnx.merge(gdef, s)(xi), state, x, iters=iters)
     return fps
 
@@ -149,28 +167,32 @@ def _bench_nin_gc(detail):
         return hl_deadline - time.time()
 
     def hl_iters() -> int:
-        left = hl_left()
-        if left > 90:
-            return 64
-        if left > 45:
-            return 32
-        return 12
+        # ONE fixed iteration count: adaptive tiers produce distinct
+        # timing-harness HLO per tier, so a slow tunnel missed the
+        # compile cache exactly when it could least afford to (a 289 s
+        # headline on the r5 validation run). 48 iters is ample slope
+        # signal; the sub-budget now only gates the W8A8 extras.
+        return 48
 
     batch = 1024
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
 
-    fp_model = nin_gc.Net(rngs=nnx.Rngs(0))
-    eval_mode(fp_model)
+    with _cpu_build():
+        fp_model = nin_gc.Net(rngs=nnx.Rngs(0))
+        eval_mode(fp_model)
     fps_fp = _eval_fps(fp_model, x, iters=hl_iters())
 
     def build_engine(a_bits, w_bits):
-        cfg = QuantConfig(a_bits=a_bits, w_bits=w_bits, bn_fuse=True)
-        q = prepare(nin_gc.Net(rngs=nnx.Rngs(0)), cfg, method="iao")
-        _seed_scales(q)
-        fused = fuse_bn_iao(q, cfg)
-        eval_mode(fused)
-        engine = freeze_int(fused, example_input=x[:1])
-        eval_mode(engine)
+        with _cpu_build():
+            cfg = QuantConfig(a_bits=a_bits, w_bits=w_bits, bn_fuse=True)
+            q = prepare(nin_gc.Net(rngs=nnx.Rngs(0)), cfg, method="iao")
+            _seed_scales(q)
+            fused = fuse_bn_iao(q, cfg)
+            eval_mode(fused)
+            engine = freeze_int(
+                fused, example_input=jnp.zeros((1, 32, 32, 3), jnp.float32)
+            )
+            eval_mode(engine)
         return engine, fused
 
     engine4, _ = build_engine(4, 4)
@@ -201,20 +223,24 @@ def _bench_resnet18(detail, lean=False):
     from micronet_tpu.quant.config import QuantConfig
 
     batch = 256 if lean else 512
-    iters = 16 if lean else 64
+    iters = 12 if lean else 64
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3), jnp.float32)
 
-    fp_model = resnet18(rngs=nnx.Rngs(0))
-    eval_mode(fp_model)
+    with _cpu_build():
+        fp_model = resnet18(rngs=nnx.Rngs(0))
+        eval_mode(fp_model)
     fps_fp = _eval_fps(fp_model, x, iters=iters)
 
-    cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
-    q = prepare(resnet18(rngs=nnx.Rngs(0)), cfg, method="iao")
-    _seed_scales(q)
-    fused = fuse_bn_iao(q, cfg)
-    eval_mode(fused)
-    engine = freeze_int(fused, example_input=x[:1])
-    eval_mode(engine)
+    with _cpu_build():
+        cfg = QuantConfig(a_bits=8, w_bits=8, bn_fuse=True)
+        q = prepare(resnet18(rngs=nnx.Rngs(0)), cfg, method="iao")
+        _seed_scales(q)
+        fused = fuse_bn_iao(q, cfg)
+        eval_mode(fused)
+        engine = freeze_int(
+            fused, example_input=jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        eval_mode(engine)
     fps_e = _eval_fps(engine, x, iters=iters)
 
     detail.update(
@@ -432,7 +458,7 @@ def _bench_llm_decode(detail, lean=False):
     cache = append_kv(cache, fk, fv)
     sec_q = per_step_seconds(
         lambda s, xi: mod.decode_step_w4(s[0], s[1], xi)[0], (params, cache), x,
-        iters=96 if lean else 192,
+        iters=64 if lean else 192,
     )
     detail["decode_w4_int8kv_us"] = round(sec_q * 1e6, 1)
     if not lean and _remaining() > 90:
@@ -581,16 +607,26 @@ def main():
         (_bench_llm_decode, 70, 35),
         (_bench_attn_s8k, 40, 20),
         (_bench_paged_attn, 50, 25),
+        (_bench_resnet18, 60, 28),
         (_bench_train, 80, 45),
-        (_bench_resnet18, 60, 30),
     ]
+    # estimates are calibrated for a median tunnel day; a degraded one
+    # (cold compiles at 60-90 s) makes every section run over, so the
+    # scheduler LEARNS the day's slowdown from the sections already run
+    # and scales the remaining estimates by it — a 3x-slow day drops
+    # tail sections (recorded) instead of blowing the wall-clock budget
+    est_spent = 0.0
+    act_spent = 0.0
     for idx, (section, full_est, lean_est) in enumerate(sections):
         name = section.__name__
+        slow = max(1.0, act_spent / est_spent) if est_spent > 0 else 1.0
         tail_lean = sum(le for _, _, le in sections[idx + 1 :])
-        if _remaining() >= full_est + tail_lean:
+        if _remaining() >= (full_est + tail_lean) * slow:
             lean = False
-        elif _remaining() >= lean_est:
+            est = full_est
+        elif _remaining() >= lean_est * slow:
             lean = True
+            est = lean_est
         else:
             skipped.append(name)
             continue
@@ -600,8 +636,13 @@ def main():
         except Exception as e:  # keep the headline metric robust
             detail[name + "_error"] = repr(e)[:200]
         detail[name + "_s"] = round(time.time() - t0, 1)
+        est_spent += est
+        act_spent += time.time() - t0
         if lean:
             detail[name + "_lean"] = True
+    detail["tunnel_slow_factor"] = round(
+        max(1.0, act_spent / est_spent) if est_spent else 1.0, 2
+    )
 
     detail["skipped_sections"] = skipped
     detail["elapsed_s"] = round(time.time() - T0, 1)

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _dispatch
+
 __all__ = [
     "decode_attend_q8kv",
     "decode_attend_q8kv_xla",
@@ -121,7 +123,7 @@ def decode_attend_q8kv(
     gqa = q.ndim == 3
     r = q.shape[1] if gqa else 1
     if (
-        jax.default_backend() != "tpu"
+        not _dispatch.on_tpu()
         or d % 128
         or s % 128
         or r > _QROWS
@@ -254,7 +256,7 @@ def decode_attend_q8kv_blocked(
         s, block_s, d, r
     )
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _dispatch.on_tpu()
     q_rows = q if gqa else q[:, None, :]
     q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
     nb = s // block_s
@@ -400,7 +402,7 @@ def decode_attend_q8kv_blocked_cur(
     r = q.shape[1] if gqa else 1
     assert s % block_s == 0 and d % 128 == 0 and r <= _QROWS
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _dispatch.on_tpu()
     q_rows = q if gqa else q[:, None, :]
     q8 = jnp.zeros((g, _QROWS, d), jnp.float32).at[:, :r, :].set(q_rows)
     nb = s // block_s
@@ -534,7 +536,7 @@ def decode_attend_q8kv_cur(
     g, s, d = k_codes.shape
     gqa = q.ndim == 3
     r = q.shape[1] if gqa else 1
-    if jax.default_backend() != "tpu" or d % 128 or s % 128 or r > _QROWS:
+    if not _dispatch.on_tpu() or d % 128 or s % 128 or r > _QROWS:
         return decode_attend_q8kv_cur_xla(
             k_codes, k_scale, v_codes, v_scale, q, bound,
             k_cur, k_cur_scale, v_cur, v_cur_scale,

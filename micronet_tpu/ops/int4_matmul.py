@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _dispatch
+
 __all__ = [
     "symmetric_rtn",
     "symmetric_rtn_grouped",
@@ -194,7 +196,7 @@ def int4_matmul(
             bytes_accessed=mp * k * 2 + k2 * np_ + mp * np_ * 4,
             transcendentals=0,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _dispatch.on_tpu(),
     )(x, packed, scale)
     return out[:m, :n]
 
@@ -204,7 +206,7 @@ def wo_linear(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.Array:
     XLA elsewhere."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if jax.default_backend() == "tpu":
+    if _dispatch.on_tpu():
         out = int4_matmul(x2, packed, scale)
     else:
         out = int4_matmul_xla(x2, packed, scale)
@@ -364,7 +366,7 @@ def int4_matmul_grouped(
             bytes_accessed=mp * k * 2 + k2 * np_ + groups * np_ * 4 + mp * np_ * 4,
             transcendentals=0,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _dispatch.on_tpu(),
     )(x, packed, gscale)
     return out[:m, :n]
 
@@ -375,7 +377,7 @@ def wo_linear_grouped(
     """Group-scaled weight-only int4 linear over arbitrary leading dims."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if jax.default_backend() == "tpu":
+    if _dispatch.on_tpu():
         out = int4_matmul_grouped(x2, packed, gscale)
     else:
         out = int4_matmul_grouped_xla(x2, packed, gscale)
@@ -603,7 +605,7 @@ def int4_matmul_grouped_hl8(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),  # disjoint output tiles: let Mosaic pipeline freely
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _dispatch.on_tpu(),
     )(x, packed, gscale)
     return out[:m, :n]
 
@@ -615,7 +617,7 @@ def wo_linear_grouped_hl8(
     dims; Pallas on TPU, per-group XLA oracle elsewhere."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if jax.default_backend() == "tpu":
+    if _dispatch.on_tpu():
         out = int4_matmul_grouped_hl8(x2, packed_hl8, gscale)
     else:
         out = int4_matmul_grouped_hl8_xla(x2, packed_hl8, gscale)

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _dispatch
+
 __all__ = [
     "quantize_int8",
     "int8_matmul_dequant",
@@ -151,7 +153,7 @@ def int8_matmul_dequant(
 
     grid = (mp // bm, np_ // bn)
     # interpret mode off-TPU so kernel numerics are testable on the CPU mesh
-    interpret = jax.default_backend() != "tpu"
+    interpret = not _dispatch.on_tpu()
     out = pl.pallas_call(
         functools.partial(_kernel, qmin=float(qmin), qmax=float(qmax)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
@@ -251,7 +253,7 @@ def binary_act_matmul(
             bytes_accessed=mp * k * 4 + k * np_ + mp * np_ * 4,
             transcendentals=0,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _dispatch.on_tpu(),
     )(x, w_q, w_scale)
     return out[:m, :n]
 
@@ -275,7 +277,7 @@ def int8_linear(
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
-    if jax.default_backend() == "tpu":
+    if _dispatch.on_tpu():
         out = int8_matmul_dequant(
             x2, w_q, w_scale, x_scale, x_zero_point,
             qmin=float(qmin), qmax=float(qmax),

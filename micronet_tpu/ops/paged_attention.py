@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _dispatch
+
 __all__ = [
     "paged_decode_attend",
     "paged_decode_attend_xla",
@@ -145,7 +147,7 @@ def paged_decode_attend(
     _, _, r, _ = q.shape
     assert r <= _QROWS and d % 128 == 0 and page % 8 == 0, (r, d, page)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _dispatch.on_tpu()
     q8 = (
         jnp.zeros((slots, h, _QROWS, d), jnp.float32)
         .at[:, :, :r, :]
@@ -318,7 +320,7 @@ def paged_decode_attend_cur(
     p, h, page, d = k_codes.shape
     slots, mp = page_table.shape
     _, _, r, _ = q.shape
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _dispatch.on_tpu()
     if interpret is None:
         interpret = not on_tpu
     if r > _QROWS or d % 128 or page % 8 or (not on_tpu and not interpret):
