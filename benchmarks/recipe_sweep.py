@@ -241,7 +241,49 @@ def exp_terA_2stage(data, args):
     return {"acc": b2, "stage1_acc": b1, "engine_acc": e, "epochs": 120}
 
 
+def exp_gc_2stage_long(data, args):
+    """Group+Prune+Quant composite at an extended two-stage budget
+    (stage1 2x, stage2 8x the base epochs — approaching the reference's
+    ~300-epoch regime for its flagship composite row)."""
+    import tempfile
+
+    from micronet_tpu import cli
+    from micronet_tpu.models import nin_gc
+    from micronet_tpu.nn import eval_mode, qat_wbwtab
+    from micronet_tpu.prune import compute_prune_masks
+    from micronet_tpu.quant.config import QuantConfig
+    from micronet_tpu.train import load_state
+
+    with tempfile.TemporaryDirectory() as td:
+        sparse_ckpt = os.path.join(td, "sparse_gc.npz")
+        cli.main(
+            ["train", "--method", "float", "--model_type", "1", "-sr", "--s",
+             "0.0001", "--epochs", str(args.epochs), "--save", sparse_ckpt]
+        )
+        sparse = nin_gc.Net(rngs=nnx.Rngs(0))
+        load_state(sparse_ckpt, sparse)
+        eval_mode(sparse)
+        cfg_pruned, _, ratio = compute_prune_masks(sparse, 0.5, gc=True, layers=9)
+    build = lambda rngs: nin_gc.Net(cfg=list(cfg_pruned), rngs=rngs)
+    cfg1 = QuantConfig(W=3, A=32)
+    b1, model, trainer = acc_table._train_one(
+        build, "wbwtab", cfg1, data, 2 * args.epochs
+    )
+    for _, m in nnx.iter_modules(model):
+        if isinstance(m, qat_wbwtab.ActivationQuantizer):
+            m.A = 2
+    cfg2 = QuantConfig(W=3, A=2)
+    b2, model, trainer = acc_table._train_one(
+        None, None, None, data, 8 * args.epochs, model=model
+    )
+    e, f = acc_table._engine_acc_wbwtab(model, cfg2, trainer)
+    return {"acc": b2, "stage1_acc": b1, "engine_acc": e,
+            "epochs": 10 * args.epochs,
+            "pruned_cfg": [int(c) for c in cfg_pruned]}
+
+
 EXPS = {
+    "gc_2stage_long": exp_gc_2stage_long,
     "w4a4_e40": exp_w4a4_e40,
     "w4a4_warm": exp_w4a4_warm,
     "w4a4_warm_e40": exp_w4a4_warm_e40,
