@@ -326,13 +326,15 @@ def _wbwtab_two_stage_row(key, W, build, data, epochs, results):
     recipe that closed VERDICT r4 item 2): stage 1 trains W-quantized
     weights against FLOAT activations (2x epochs — the same budget the
     weight-only rows get), stage 2 flips every ActivationQuantizer to
-    binary and finetunes (4x epochs, milestone schedule). The weight
-    landscape enters stage 2 already in the binarization-friendly basin,
-    so the saturate-STE activation gradients fine-tune rather than
-    re-learn — measured: binW+binA 14.5% -> ~1% loss, terW+binA
-    8.6% -> better-than-fp32 on the synthetic set (RECIPE_SWEEP.json).
-    Same semantics as the reference (sign/ternary fwd, STE bwd, wd=0);
-    only the SCHEDULE is staged."""
+    binary and finetunes (8x epochs, milestone schedule — total 10x,
+    ~= the reference's ~300-epoch regime for these rows; the
+    RECIPE_SWEEP ablation showed the residual composite gap was pure
+    budget). The weight landscape enters stage 2 already in the
+    binarization-friendly basin, so the saturate-STE activation
+    gradients fine-tune rather than re-learn — measured: binW+binA
+    14.5% -> ~1% loss, terW+binA 8.6% -> better-than-fp32, composite
+    17.1% -> ~4% (RECIPE_SWEEP.json). Same semantics as the reference
+    (sign/ternary fwd, STE bwd, wd=0); only the SCHEDULE is staged."""
     from micronet_tpu.nn import qat_wbwtab
     from micronet_tpu.quant.config import QuantConfig
 
@@ -346,7 +348,7 @@ def _wbwtab_two_stage_row(key, W, build, data, epochs, results):
             m.A = 2
     cfg2 = QuantConfig(W=W, A=2)
     best, model, trainer = _train_one(
-        None, None, None, data, 4 * epochs, model=model
+        None, None, None, data, 8 * epochs, model=model
     )
     engine_acc, fused_acc = _engine_acc_wbwtab(model, cfg2, trainer)
     _assert_engine(key, fused_acc, engine_acc, train_acc=best)
@@ -360,8 +362,8 @@ def _wbwtab_two_stage_row(key, W, build, data, epochs, results):
         "fused_exact_acc": round(fused_acc, 4),
         "params_m": round(_params_m(model), 3),
         "size_mb": round(_model_size_mb(model, 1 if W == 2 else 2), 3),
-        "epochs": 6 * epochs,
-        "recipe": "two-stage (W-then-A binarization)",
+        "epochs": 10 * epochs,
+        "recipe": "two-stage (W-then-A binarization), 8x stage 2",
         "seconds": round(time.time() - t0, 1),
     }
     return model
@@ -570,6 +572,11 @@ def main(argv=None):
     ap.add_argument("--skip_composites", action="store_true",
                     help="skip the prune/gc composite + ptq/qaft rows "
                     "(fast smoke run)")
+    ap.add_argument("--only", default="all", choices=["all", "lowbit"],
+                    help="'lowbit': re-run ONLY the two binary-activation "
+                    "rows + the gc composite (the long-budget rows) and "
+                    "merge them into the existing table — recipe/budget "
+                    "iteration without repaying the whole table")
     args = ap.parse_args(argv)
     os.environ["MICRONET_SYNTHETIC_NOISE"] = str(args.noise)
 
@@ -610,6 +617,34 @@ def main(argv=None):
 
     results = {}
     t_start = time.time()
+
+    if args.only == "lowbit":
+        # targeted re-run: the long-budget low-bit rows merge into the
+        # existing table (deltas recomputed against its stored fp32)
+        with open(args.out) as f:
+            table = json.load(f)
+        results = table["rows"]
+        for key, W in (("wbwtab_binW_binA", 2), ("wbwtab_terW_binA", 3)):
+            _wbwtab_two_stage_row(key, W, build, data, args.epochs, results)
+            print(f"[acc_table] {key}: acc={results[key]['acc']:.4f}",
+                  flush=True)
+        _gc_composite_row(data, args.epochs, results)
+        print(f"[acc_table] gc_prune_quant: "
+              f"acc={results['gc_prune_quant']['acc']:.4f}", flush=True)
+        fp32 = results["fp32"]["acc"]
+        base_mb = results["fp32"]["size_mb"]
+        for key in ("wbwtab_binW_binA", "wbwtab_terW_binA", "gc_prune_quant"):
+            row = results[key]
+            row["acc_delta_vs_fp32"] = round(fp32 - row["acc"], 4)
+            row["compression_pct"] = round(
+                100 * (1 - row["size_mb"] / base_mb), 2
+            )
+        table["meta"]["lowbit_rerun_seconds"] = round(time.time() - t_start, 1)
+        table["meta"]["lowbit_rerun_epochs"] = 10 * args.epochs
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=1)
+        print(f"[acc_table] merged low-bit rows into {args.out}")
+        return
 
     def _checkpoint():
         """Write partial results after every row: a mid-run
