@@ -128,6 +128,13 @@ def _add_quant_flags(p: argparse.ArgumentParser):
     )
     p.add_argument("--W", type=int, default=2, help="wbwtab: 2 bin, 3 ter, 32 fp")
     p.add_argument("--A", type=int, default=2, help="wbwtab: 2 bin, 32 fp")
+    p.add_argument(
+        "--two_stage", type=int, default=0, metavar="EPOCHS",
+        help="wbwtab + A=2 only: train EPOCHS against FLOAT activations "
+        "first, then binarize activations and run the main schedule — "
+        "the round-5 recipe that puts binary-activation nets at/above "
+        "fp32 accuracy (ACC_TABLE.json; benchmarks/acc_table.py)",
+    )
 
 
 def cmd_train(args) -> int:
@@ -168,6 +175,35 @@ def cmd_train(args) -> int:
     if args.prune_qaft:
         _load(args.prune_qaft, qmodel)
     train_mode(qmodel)
+
+    if (
+        args.method == "wbwtab"
+        and args.A == 2
+        and getattr(args, "two_stage", 0) > 0
+        and not args.resume
+    ):
+        # stage 1 of the two-stage W-then-A recipe: same net, activations
+        # temporarily float; the weight landscape settles in the
+        # binarization-friendly basin before sign() activations arrive
+        from .nn import qat_wbwtab
+        from .train import scaled_milestones
+
+        for _, m in nnx.iter_modules(qmodel):
+            if isinstance(m, qat_wbwtab.ActivationQuantizer):
+                m.A = 32
+        stage_cfg = TrainConfig(
+            lr=args.lr,
+            weight_decay=args.wd,
+            batch_size=args.train_batch_size,
+            epochs=args.two_stage,
+            seed=args.seed,
+            milestones=scaled_milestones(args.two_stage),
+        )
+        s1 = Trainer(qmodel, stage_cfg).fit()
+        print(f"two-stage: stage-1 (float A) best acc {s1 * 100:.2f}%")
+        for _, m in nnx.iter_modules(qmodel):
+            if isinstance(m, qat_wbwtab.ActivationQuantizer):
+                m.A = 2
 
     tcfg = TrainConfig(
         lr=args.lr,

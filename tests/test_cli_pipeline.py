@@ -147,3 +147,28 @@ def test_cli_kl_ptq_then_deploy(tmp_path):
     runner = deserialize_engine(artifact)
     y = np.asarray(runner(jax.numpy.zeros((4, 32, 32, 3), "float32")))
     assert y.shape == (4, 10) and np.isfinite(y).all()
+
+
+def test_cli_two_stage_wbwtab(tmp_path, capsys):
+    """--two_stage N: stage 1 trains with float activations, then the
+    activations binarize and the main schedule runs — the round-5
+    recipe surfaced as a CLI flag (wbwtab/main.py analog)."""
+    from micronet_tpu.nn import qat_wbwtab
+    from micronet_tpu.train import load_state
+
+    ckpt = str(tmp_path / "bin2s.npz")
+    rc = cli.main(
+        ["train", "--method", "wbwtab", "--W", "2", "--A", "2",
+         "--two_stage", "1", "--model_type", "0", "--cfg", ",".join(["8"] * 8),
+         "--epochs", "1", "--train_batch_size", "128", "--save", ckpt]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "two-stage: stage-1 (float A)" in out
+    # the saved checkpoint restores into a BINARY-activation net
+    model = nin.Net(cfg=[8] * 8, rngs=nnx.Rngs(0))
+    q = prepare(model, QuantConfig(W=2, A=2), method="wbwtab", inplace=True)
+    load_state(ckpt, q)
+    acts = [m for _, m in nnx.iter_modules(q)
+            if isinstance(m, qat_wbwtab.ActivationQuantizer)]
+    assert acts and all(m.A == 2 for m in acts)
