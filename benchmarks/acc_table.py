@@ -572,11 +572,15 @@ def main(argv=None):
     ap.add_argument("--skip_composites", action="store_true",
                     help="skip the prune/gc composite + ptq/qaft rows "
                     "(fast smoke run)")
-    ap.add_argument("--only", default="all", choices=["all", "lowbit"],
+    ap.add_argument("--only", default="all",
+                    choices=["all", "lowbit", "resnet"],
                     help="'lowbit': re-run ONLY the two binary-activation "
                     "rows + the gc composite (the long-budget rows) and "
                     "merge them into the existing table — recipe/budget "
-                    "iteration without repaying the whole table")
+                    "iteration without repaying the whole table. "
+                    "'resnet': add the ResNet-18 fp32 + W4A4 rows "
+                    "(BASELINE configs[2] — quantized residual adds "
+                    "through the IntAdd engine)")
     args = ap.parse_args(argv)
     os.environ["MICRONET_SYNTHETIC_NOISE"] = str(args.noise)
 
@@ -617,6 +621,76 @@ def main(argv=None):
 
     results = {}
     t_start = time.time()
+
+    if args.only == "resnet":
+        # ResNet-18 rows (BASELINE configs[2]): fp32 baseline + W4A4
+        # warm-start QAT with the quantized residual Adds riding the
+        # union scale into the IntAdd engine — merged into the table
+        import dataclasses
+
+        from micronet_tpu.models import resnet18
+        from micronet_tpu.nn import prepare
+        from micronet_tpu.quant.config import QuantConfig
+        from micronet_tpu.train import load_state, save_state
+
+        with open(args.out) as f:
+            table = json.load(f)
+        results = table["rows"]
+        t0 = time.time()
+        rbuild = lambda rngs: resnet18(rngs=rngs)
+        fp_best, fp_model, _ = _train_one(rbuild, None, None, data, args.epochs)
+        results["resnet18_fp32"] = {
+            "model": "resnet18",
+            "w_bits": 32,
+            "a_bits": 32,
+            "acc": round(fp_best, 4),
+            "params_m": round(_params_m(fp_model), 3),
+            "size_mb": round(_model_size_mb(fp_model, 32), 3),
+            "gflops": round(_gflops(fp_model), 4),
+            "epochs": args.epochs,
+            "seconds": round(time.time() - t0, 1),
+        }
+        print(f"[acc_table] resnet18_fp32: acc={fp_best:.4f}", flush=True)
+        t0 = time.time()
+        qcfg = QuantConfig(
+            a_bits=4, w_bits=4, bn_fuse=True, q_type=1,
+            first_layer_a_bits=8, first_layer_w_bits=8,
+            last_layer_a_bits=8, last_layer_w_bits=8,
+            pretrained_model=True,
+        )
+        with tempfile.TemporaryDirectory() as td:
+            ck = os.path.join(td, "rfp32.npz")
+            save_state(ck, fp_model)
+            fresh = resnet18(rngs=nnx.Rngs(1))
+            load_state(ck, fresh)
+        q = prepare(fresh, qcfg, method="iao", inplace=True)
+        best, model, trainer = _train_one(
+            None, None, None, data, 2 * args.epochs, model=q
+        )
+        engine_acc, fused_exact = _engine_acc_iao(model, qcfg, trainer)
+        _assert_engine("resnet18_w4a4_warm", fused_exact, engine_acc,
+                       train_acc=best)
+        results["resnet18_w4a4_warm"] = {
+            "model": "resnet18",
+            "w_bits": 4,
+            "a_bits": 4,
+            "acc": round(best, 4),
+            "engine_acc": round(engine_acc, 4),
+            "fused_exact_acc": round(fused_exact, 4),
+            "acc_delta_vs_fp32": round(fp_best - best, 4),
+            "params_m": round(_params_m(model), 3),
+            "size_mb": round(_model_size_mb(model, 4), 3),
+            "epochs": 2 * args.epochs,
+            "recipe": "asym + first/last-8 + fp32 warm start "
+                      "(quantized residual Adds, IntAdd engine)",
+            "seconds": round(time.time() - t0, 1),
+        }
+        table["meta"]["resnet_rows_seconds"] = round(time.time() - t_start, 1)
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=1)
+        print(f"[acc_table] resnet18_w4a4_warm: acc={best:.4f} "
+              f"(engine {engine_acc:.4f}); merged into {args.out}")
+        return
 
     if args.only == "lowbit":
         # targeted re-run: the long-budget low-bit rows merge into the
