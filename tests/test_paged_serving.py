@@ -233,6 +233,49 @@ def test_paged_append_batch_matches_sequential_appends():
         )
 
 
+@pytest.mark.slow
+def test_paged_serveloop_tp_sharded_matches_unsharded():
+    """Paged continuous batching over a TENSOR-PARALLEL Llama: the same
+    requests through a paged ServeLoop whose weights are channel-sharded
+    over a 2-device 'model' mesh produce token streams identical to the
+    unsharded paged loop — the paged analog of the dense TP serving
+    test (the mesh axis is what would span hosts over DCN)."""
+    from jax.sharding import Mesh
+
+    from micronet_tpu.parallel.sharding import shard_state
+
+    def build():
+        return Llama(llama_tiny(max_seq=32), rngs=nnx.Rngs(0))
+
+    def reqs():
+        return [
+            Request(rid=0, prompt=[1, 2, 3], max_new_tokens=5),
+            Request(rid=1, prompt=[7, 8], max_new_tokens=4),
+        ]
+
+    plain = ServeLoop(build(), max_slots=2, paged=True, page_size=8)
+    for r in reqs():
+        plain.submit(r)
+    plain.run()
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    sharded = build()
+    gdef, state = nnx.split(sharded)
+    state = shard_state(state, mesh, "model")
+    sharded = nnx.merge(gdef, state)
+    with mesh:
+        loop = ServeLoop(sharded, max_slots=2, paged=True, page_size=8)
+        for r in reqs():
+            loop.submit(r)
+        loop.run()
+    for rid in (0, 1):
+        assert loop.finished[rid].output == plain.finished[rid].output, (
+            rid, loop.finished[rid].output, plain.finished[rid].output
+        )
+    for c in loop.caches:
+        assert int(c.free_top) == int(plain.caches[0].free_top)
+
+
 def test_paged_attend_cur_kernel_matches_oracle():
     """The current-token paged kernel (interpret mode = real kernel
     body) vs the gather-dense + dense-cur oracle, ragged lengths."""
