@@ -176,6 +176,33 @@ def cmd_train(args) -> int:
         _load(args.prune_qaft, qmodel)
     train_mode(qmodel)
 
+    import os as _os
+
+    if args.auto_resume and not args.resume:
+        # preemption-safe restarts: prefer the per-epoch .latest file
+        # (newest step) over the best-acc file, so at most one epoch of
+        # progress is lost. Resolved BEFORE the two-stage block below —
+        # a restarted two-stage run must NOT repeat stage 1 only to have
+        # the checkpoint restore overwrite it
+        def _step_of(p):
+            import json as _json
+
+            import numpy as _np
+
+            try:
+                with _np.load(p) as z:
+                    return _json.loads(bytes(z["__header__"]).decode())["step"]
+            except Exception:
+                return -1
+
+        cands = [
+            p
+            for p in (args.save + ".latest.npz", args.save)
+            if _os.path.exists(p)
+        ]
+        if cands:
+            args.resume = max(cands, key=_step_of)
+
     if (
         args.method == "wbwtab"
         and args.A == 2
@@ -198,6 +225,8 @@ def cmd_train(args) -> int:
             epochs=args.two_stage,
             seed=args.seed,
             milestones=scaled_milestones(args.two_stage),
+            metrics_path=args.metrics or None,
+            grad_accum=args.grad_accum,
         )
         s1 = Trainer(qmodel, stage_cfg).fit()
         print(f"two-stage: stage-1 (float A) best acc {s1 * 100:.2f}%")
@@ -221,30 +250,6 @@ def cmd_train(args) -> int:
         grad_accum=args.grad_accum,
     )
     trainer = Trainer(qmodel, tcfg)
-    import os as _os
-
-    if args.auto_resume and not args.resume:
-        # preemption-safe restarts: prefer the per-epoch .latest file
-        # (newest step) over the best-acc file, so at most one epoch of
-        # progress is lost
-        def _step_of(p):
-            import json as _json
-
-            import numpy as _np
-
-            try:
-                with _np.load(p) as z:
-                    return _json.loads(bytes(z["__header__"]).decode())["step"]
-            except Exception:
-                return -1
-
-        cands = [
-            p
-            for p in (args.save + ".latest.npz", args.save)
-            if _os.path.exists(p)
-        ]
-        if cands:
-            args.resume = max(cands, key=_step_of)
     if args.resume:
         step, best, _ = load_state(args.resume, qmodel, optimizer=trainer.optimizer)
         trainer.epoch, trainer.best_acc = step + 1, best

@@ -23,4 +23,8 @@ def on_tpu() -> bool:
     if jax.default_backend() != "tpu":
         return False
     dev = jax.config.jax_default_device
-    return dev is None or getattr(dev, "platform", "tpu") == "tpu"
+    if dev is None:
+        return True
+    if isinstance(dev, str):  # jax.default_device("cpu") string form
+        return dev.split(":")[0] == "tpu"
+    return getattr(dev, "platform", "tpu") == "tpu"

@@ -141,11 +141,18 @@ def paged_decode_attend(
 ) -> jax.Array:
     """Decode attention for every slot against its paged int8 KV, pages
     read in place from the pool via the scalar-prefetched table.
-    Returns (slots, H, R, D)."""
+    Returns (slots, H, R, D). Off TPU the default is the gather-dense
+    XLA oracle (fast, and the dense loop's exact math); pass
+    ``interpret=True`` to run the real kernel body interpreted
+    (kernel-numerics tests)."""
     p, h, page, d = k_codes.shape
     slots, mp = page_table.shape
     _, _, r, _ = q.shape
     assert r <= _QROWS and d % 128 == 0 and page % 8 == 0, (r, d, page)
+    if interpret is not True and not _dispatch.on_tpu():
+        return paged_decode_attend_xla(
+            k_codes, k_scale, v_codes, v_scale, page_table, lengths, q
+        )
     if interpret is None:
         interpret = not _dispatch.on_tpu()
     q8 = (
@@ -314,21 +321,28 @@ def paged_decode_attend_cur(
     """Paged decode attention over cache[<lengths] PLUS the current
     token's quantized K/V row (deferred-append: the caller scatters the
     SAME codes into the pool afterwards via ``paged_append_batch``).
-    Returns (slots, H, R, D). Falls back to the gather-dense oracle off
-    TPU or for non-tile-aligned geometry (D % 128, page % 8) — which on
-    CPU makes the paged ServeLoop bit-identical to the dense one."""
+    Returns (slots, H, R, D). Falls back to the gather-dense oracle for
+    non-tile-aligned geometry (D % 128, page % 8) and — unless
+    ``interpret=True`` explicitly asks for the interpreted kernel body —
+    whenever not on a TPU, which makes the paged ServeLoop on CPU
+    bit-identical to the dense one (same decode_attend_q8kv_cur_xla
+    math) and fast (interpret mode is orders of magnitude slower)."""
     p, h, page, d = k_codes.shape
     slots, mp = page_table.shape
     _, _, r, _ = q.shape
     on_tpu = _dispatch.on_tpu()
-    if interpret is None:
-        interpret = not on_tpu
-    if r > _QROWS or d % 128 or page % 8 or (not on_tpu and not interpret):
+    if (
+        r > _QROWS
+        or d % 128
+        or page % 8
+        or (not on_tpu and interpret is not True)
+    ):
         return paged_decode_attend_cur_xla(
             k_codes, k_scale, v_codes, v_scale, page_table, lengths, q,
             k_cur, k_cur_scale, v_cur, v_cur_scale,
         )
-    g = slots * h
+    if interpret is None:
+        interpret = not on_tpu
     q8 = (
         jnp.zeros((slots, h, _QROWS, d), jnp.float32)
         .at[:, :, :r, :]
@@ -389,6 +403,23 @@ def paged_decode_attend_cur(
     return out[:, :, :r, :]
 
 
+def _gather_dense_batch(codes, scale, page_table):
+    """Materialize every slot's logical dense view from the pool: codes
+    (P, H, page, D) + scale (P, H, 1, page) gathered by the (slots, MP)
+    table -> ((slots*H, S, D) codes, (slots*H, S) scales). The ONE
+    pool-to-dense gather both XLA oracles share (a pool-layout change
+    has a single place to follow)."""
+    slots, mp = page_table.shape
+    p, h, page, d = codes.shape
+    s = mp * page
+    c = jnp.take(codes, page_table, axis=0)  # (slots, mp, H, page, D)
+    sc = jnp.take(scale, page_table, axis=0)  # (slots, mp, H, 1, page)
+    return (
+        c.transpose(0, 2, 1, 3, 4).reshape(slots * h, s, d),
+        sc[:, :, :, 0, :].transpose(0, 2, 1, 3).reshape(slots * h, s),
+    )
+
+
 def paged_decode_attend_cur_xla(
     k_codes, k_scale, v_codes, v_scale, page_table, lengths, q,
     k_cur, k_cur_scale, v_cur, v_cur_scale,
@@ -402,18 +433,9 @@ def paged_decode_attend_cur_xla(
     p, h, page, d = k_codes.shape
     slots, mp = page_table.shape
     r = q.shape[2]
-    s = mp * page
 
-    def dense(codes, scale):
-        c = jnp.take(codes, page_table, axis=0)  # (slots, mp, H, page, D)
-        sc = jnp.take(scale, page_table, axis=0)  # (slots, mp, H, 1, page)
-        return (
-            c.transpose(0, 2, 1, 3, 4).reshape(slots * h, s, d),
-            sc[:, :, :, 0, :].transpose(0, 2, 1, 3).reshape(slots * h, s),
-        )
-
-    kc, ks = dense(k_codes, k_scale)
-    vc, vs = dense(v_codes, v_scale)
+    kc, ks = _gather_dense_batch(k_codes, k_scale, page_table)
+    vc, vs = _gather_dense_batch(v_codes, v_scale, page_table)
     g = slots * h
     bound = jnp.broadcast_to(lengths[:, None], (slots, h)).reshape(g)
     out = decode_attend_q8kv_cur_xla(
@@ -428,31 +450,21 @@ def paged_decode_attend_cur_xla(
 def paged_decode_attend_xla(
     k_codes, k_scale, v_codes, v_scale, page_table, lengths, q
 ) -> jax.Array:
-    """Oracle: gather each slot's dense view, run the dense-oracle math
-    (same precision class)."""
+    """Oracle: gather every slot's dense view (shared
+    :func:`_gather_dense_batch`), run the dense-oracle math (same
+    precision class; the einsum batches rows independently, so per-slot
+    results match the previous per-slot loop bit for bit)."""
     from .decode_attention import decode_attend_q8kv_xla
 
     p, h, page, d = k_codes.shape
     slots, mp = page_table.shape
-    outs = []
-    for s in range(slots):  # oracle only — python loop is fine
-        pages = page_table[s]
-
-        def dense(codes, scale):
-            c = jnp.take(codes, pages, axis=0)  # (mp, H, page, D)
-            sc = jnp.take(scale, pages, axis=0)  # (mp, H, 1, page)
-            return (
-                c.transpose(1, 0, 2, 3).reshape(h, mp * page, d),
-                sc[:, :, 0, :].transpose(1, 0, 2).reshape(h, mp * page),
-            )
-
-        kc, ks = dense(k_codes, k_scale)
-        vc, vs = dense(v_codes, v_scale)
-        bound = jnp.full((h,), lengths[s], jnp.int32)
-        outs.append(
-            decode_attend_q8kv_xla(
-                kc, ks, vc, vs,
-                q[s].astype(jnp.float32), bound,
-            )
-        )
-    return jnp.stack(outs)
+    r = q.shape[2]
+    kc, ks = _gather_dense_batch(k_codes, k_scale, page_table)
+    vc, vs = _gather_dense_batch(v_codes, v_scale, page_table)
+    g = slots * h
+    bound = jnp.broadcast_to(lengths[:, None], (slots, h)).reshape(g)
+    out = decode_attend_q8kv_xla(
+        kc, ks, vc, vs,
+        q.reshape(g, r, d).astype(jnp.float32), bound,
+    )
+    return out.reshape(slots, h, r, d)

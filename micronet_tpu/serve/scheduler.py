@@ -186,7 +186,21 @@ class ServeLoop:
         from .sampling import position_key, sample_token
 
         if self.paged:
-            needed = -(-len(req.prompt) // self.page_size)
+            # reserve pages for the WHOLE request — prompt plus decode
+            # growth (capped at max_seq): admission that only budgets
+            # the prompt lets the pool run out mid-decode, where the
+            # saturating append would silently drop KV rows (the
+            # force-finish backstop in _maybe_finish catches that, but
+            # reservation keeps it an edge case, not a steady state)
+            # appended rows = prompt + (max_new - 1): the final output
+            # token is sampled but its KV row is never written
+            rows = len(req.prompt) + max(req.max_new_tokens - 1, 0)
+            if self.max_seq is not None:
+                rows = min(rows, self.max_seq)
+            # liveness cap: a request bigger than the whole pool would
+            # defer forever — admit it when the pool is otherwise free
+            # and let the exhaustion backstop truncate it
+            needed = min(-(-rows // self.page_size), self.num_pages - 1)
             if int(self.caches[0].free_top) < needed:
                 self.queue.appendleft(req)
                 return False
@@ -265,7 +279,12 @@ class ServeLoop:
         )
         return logits[-1], cache
 
-    def _maybe_finish(self, slot: int, offset: Optional[int] = None) -> None:
+    def _maybe_finish(
+        self,
+        slot: int,
+        offset: Optional[int] = None,
+        kv_len: Optional[int] = None,
+    ) -> None:
         req = self.slot_req[slot]
         if req is None:
             return
@@ -277,7 +296,19 @@ class ServeLoop:
         if offset is None:
             offset = int(self.offsets[slot])
         full = self.max_seq is not None and offset >= self.max_seq
-        if len(req.output) >= req.max_new_tokens or hit_eos or full:
+        # paged backstop: if the cache fill pointer trails the offset,
+        # an append was dropped (pool exhausted mid-decode) — finishing
+        # the slot (truncation) frees its pages; continuing would decode
+        # against an incomplete cache (silent divergence). Admission
+        # reserves decode growth, so this only fires on pathological
+        # over-subscription
+        pool_oom = self.paged and kv_len is not None and kv_len < offset
+        if (
+            len(req.output) >= req.max_new_tokens
+            or hit_eos
+            or full
+            or pool_oom
+        ):
             req.done = True
             self.finished[req.rid] = req
             self.slot_req[slot] = None
@@ -327,12 +358,22 @@ class ServeLoop:
         )
         self.offsets = self.offsets + 1
         self.next_tok = toks[:, None]
-        host_toks, host_offs = jax.device_get((toks, self.offsets))
+        if self.paged:
+            host_toks, host_offs, host_lens = jax.device_get(
+                (toks, self.offsets, self.caches[0].lengths)
+            )
+        else:
+            host_toks, host_offs = jax.device_get((toks, self.offsets))
+            host_lens = None
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
             req.output.append(int(host_toks[slot]))
-            self._maybe_finish(slot, offset=int(host_offs[slot]))
+            self._maybe_finish(
+                slot,
+                offset=int(host_offs[slot]),
+                kv_len=None if host_lens is None else int(host_lens[slot]),
+            )
 
     def run(self, max_steps: int = 10_000) -> Dict[int, Request]:
         """Drive until every submitted request finishes (or max_steps)."""

@@ -149,6 +149,43 @@ def test_chunked_prefill_matches_exact_prefill_dense_and_paged():
                 exact.finished[rid].output)
 
 
+def test_paged_pool_exhaustion_truncates_instead_of_diverging():
+    """Over-subscribed pool (two requests whose decode growth together
+    exceeds it): the exhausted slot is FORCE-FINISHED (truncated) the
+    moment an append is dropped — its tokens are a prefix of the
+    well-resourced run's tokens, never a silent divergence computed
+    against an incomplete cache — and its pages return to the pool."""
+    model = _model()
+    reqs = lambda: [
+        Request(rid=0, prompt=[3, 14, 15, 9, 26, 5, 35, 8],
+                max_new_tokens=16),
+        Request(rid=1, prompt=[9, 26, 5, 35, 8, 3, 14, 15],
+                max_new_tokens=16),
+    ]
+    ref = ServeLoop(model, max_slots=2)  # dense: no pool pressure
+    for r in reqs():
+        ref.submit(r)
+    ref.run()
+    # 4 usable pages of 8 rows; each request wants 3 pages (8+16 rows)
+    loop = ServeLoop(model, max_slots=2, paged=True, page_size=8,
+                     num_pages=5)
+    for r in reqs():
+        loop.submit(Request(r.rid, list(r.prompt), r.max_new_tokens))
+    done = loop.run()
+    assert set(done) == {0, 1}  # the loop terminates — no livelock
+    for rid in (0, 1):
+        out = done[rid].output
+        full = ref.finished[rid].output
+        assert 0 < len(out) <= len(full)
+        assert out == full[: len(out)], (rid, out, full)
+    assert any(
+        len(done[rid].output) < len(ref.finished[rid].output)
+        for rid in (0, 1)
+    )  # at least one request actually hit the backstop
+    for c in loop.caches:
+        assert int(c.free_top) == 4  # every page returned
+
+
 def test_paged_append_saturates_at_slot_capacity():
     """ADVICE r4: at max_pages*page_size rows the append is a no-op —
     lengths saturate, the table keeps its entries, nothing leaks."""
